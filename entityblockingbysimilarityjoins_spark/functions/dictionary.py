@@ -1,0 +1,98 @@
+"""Deterministic global token dictionary + IDF weights (SURVEY.md T6).
+
+The reference builds, per (tokenizer, setting, attribute), a global dictionary
+over all records with token ids assigned in increasing frequency order
+(rarest token = smallest id) and IDF weight log10(N/freq)
+(``/root/reference/cpp/common/tokenizer.cc:329-363``). Sorted-ascending int
+token arrays therefore put the **rarest tokens first**, which is exactly what
+the prefix filter of the set-similarity join needs.
+
+Determinism contract (SURVEY.md §4): the reference's sort breaks frequency
+ties arbitrarily; we define the total order ``(count ASC, token ASC)`` so
+blocking keys are reproducible across runs and cluster sizes.
+
+Scale notes:
+- the dictionary build is one groupBy(token).count() shuffle + a global
+  row_number. The row_number needs a total order over the vocabulary; we
+  compute it distributed via a two-pass rank (per-partition count + offset)
+  free of single-partition windows... in practice Spark's window without
+  partitionBy would serialize; instead we sort and zipWithIndex via
+  ``row_number`` over a range-partitioned sort, which Spark executes as a
+  global sort (parallel) + windowed numbering per partition with offsets —
+  here we use the simple monotonically-increasing trick below.
+- encoding joins the (exploded) corpus with the dictionary: broadcast when it
+  fits (``broadcast_threshold``), shuffle hash join otherwise (100 TB corpora
+  have vocabularies far beyond broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_dictionary(df: DataFrame, tokens_col: str = "tokens", n_records: int | None = None) -> DataFrame:
+    """Build (token, tid, freq, idf) with tid 0..V-1 ordered (freq ASC, token ASC).
+
+    ``n_records`` defaults to df.count() — for RS joins pass |A|+|B| over the
+    union, matching wordwt = log10((|A|+|B|)/freq) (tokenizer.cc:348-363).
+    """
+    if n_records is None:
+        n_records = df.count()
+    freqs = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    # Global total-order numbering. A window without partitionBy funnels
+    # through one task; for the vocab sizes we target this is the correct
+    # simple choice *locally*, and at true web scale the build would swap in
+    # sort + zipWithIndex. Vocab is tiny relative to the corpus either way.
+    w = Window.orderBy(F.asc("freq"), F.asc("token"))
+    return freqs.select(
+        "token",
+        (F.row_number().over(w) - 1).alias("tid"),
+        "freq",
+        F.log10(F.lit(float(n_records)) / F.col("freq")).alias("idf"),
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    dictionary: DataFrame,
+    id_col: str = "rid",
+    tokens_col: str = "tokens",
+    out_col: str = "tids",
+    weight_col: str | None = "wt",
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Re-encode string-token arrays as sorted int-id arrays (+ IDF record weight).
+
+    Sorted ascending == rarest-first (see module doc). Rows whose token set is
+    empty keep an empty array and weight 0.0 (DROP_EMPTY happens later, at the
+    join's filter, matching setjoin.cc:199-202 semantics).
+    """
+    d = dictionary.select("token", "tid", "idf")
+    if broadcast_dict:
+        d = F.broadcast(d)
+    exploded = df.select(id_col, F.explode(tokens_col).alias("token"))
+    enc = (
+        exploded.join(d, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("tid")).alias(out_col),
+            F.sum("idf").alias("__wt"),
+        )
+    )
+    out = df.join(enc, id_col, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<int>")),
+    ).withColumn(out_col, F.col(out_col).cast("array<int>"))
+    if weight_col is not None:
+        out = out.withColumn(weight_col, F.coalesce(F.col("__wt"), F.lit(0.0)))
+    return out.drop("__wt")
+
+
+def idf_weight(tokens: Column, idf_map: Column) -> Column:
+    """Record weight = sum of token IDFs, as a native aggregate expression."""
+    return F.aggregate(tokens, F.lit(0.0), lambda acc, t: acc + F.coalesce(idf_map[t], F.lit(0.0)))
