@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": dir, "pairs_per_sec": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from entityblockingbysimilarityjoins_spark.session import get_spark
+
+#: benchmarked subset (the expensive, representative operators)
+BENCH_QUERIES = [
+    "set_join_jaccard",
+    "set_join_cosine",
+    "overlap_join",
+    "edit_distance_join",
+    "absolute_norm_join",
+    "block_union",
+    "topk_ta",
+    "connected_components",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="ebsj-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    candidate_pairs = 0
+    t_all = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "set_join_jaccard":
+            candidate_pairs = n
+    total = round(time.time() - t_all, 3)
+
+    out = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "blocking_pairs_per_sec": round(candidate_pairs / timings["set_join_jaccard"], 1)
+        if timings.get("set_join_jaccard") else None,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

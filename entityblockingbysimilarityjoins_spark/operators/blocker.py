@@ -1,0 +1,184 @@
+"""Rule-dispatching blocker: union of per-rule similarity joins (SURVEY §2.4-2.5).
+
+Re-expresses ``SimJoinBlocker::selfSimilarityJoinParallel`` /
+``RSSimilarityJoinSerial`` (``/root/reference/cpp/blocker/simjoin_blocker.cc``):
+for each blocking rule pick the join family by ``sim``, tokenize the rule's
+attribute with the rule's tokenizer (token datasets cached per
+(tok, settings, attr) like the reference's datasets_map, blocker_config.h:27),
+run the join, canonicalize pairs to (min, max), union all rules and count
+``rules_passed`` per pair (mergePairs/passedRules, blocker_util.cc:8-32).
+
+Reference quirk preserved: a ``lev`` rule with threshold <= 0 degenerates to
+an exact-match join and is skipped when an ``exm`` rule on the same attribute
+exists (simjoin_blocker.cc:85-103).
+
+Metrics: ``blocking_metrics`` = recall / |C| / CSSR vs a gold pair table
+(getRecall, block.cc:276-322) — computed with joins, never driver-side sets.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dictionary import build_dictionary
+from ..functions.tokenize import tokenizer
+from ..sources.rules import Rule
+from .edit_join import edit_distance_rs_join, edit_distance_self_join
+from .exact_join import (
+    absolute_norm_rs_join,
+    absolute_norm_self_join,
+    exact_rs_join,
+    exact_self_join,
+)
+from .overlap_join import overlap_rs_join, overlap_self_join
+from .set_join import set_similarity_rs_join, set_similarity_self_join
+
+log = logging.getLogger(__name__)
+
+
+class _TokenCache:
+    """datasets_map analogue: tokenized+dictionary DataFrames per rule key."""
+
+    def __init__(self):
+        self._toks: dict[str, DataFrame] = {}
+        self._dicts: dict[str, DataFrame] = {}
+
+    def tokens(self, df: DataFrame, id_col: str, rule: Rule) -> DataFrame:
+        key = rule.dataset_key
+        if key not in self._toks:
+            fn = tokenizer(rule.tok, rule.tok_settings)
+            self._toks[key] = df.select(
+                F.col(id_col), fn(F.col(rule.attr)).alias("tokens")
+            ).persist()
+        return self._toks[key]
+
+    def dictionary(self, tokens_df: DataFrame, rule: Rule, n_records: int | None = None) -> DataFrame:
+        key = rule.dataset_key
+        if key not in self._dicts:
+            self._dicts[key] = build_dictionary(
+                tokens_df.select("tokens"), n_records=n_records
+            ).persist()
+        return self._dicts[key]
+
+
+def _run_rule_self(df: DataFrame, id_col: str, rule: Rule, cache: _TokenCache,
+                   weighted: bool) -> DataFrame:
+    if rule.sim in ("jac", "cos", "dice"):
+        toks = cache.tokens(df, id_col, rule)
+        d = cache.dictionary(toks, rule)
+        return set_similarity_self_join(
+            toks, id_col, "tokens", sim=rule.sim, threshold=rule.threshold,
+            weighted=weighted, dictionary=d,
+        ).select("id1", "id2")
+    if rule.sim == "overlap":
+        toks = cache.tokens(df, id_col, rule)
+        d = cache.dictionary(toks, rule)
+        return overlap_self_join(
+            toks, id_col, "tokens", c=max(int(rule.threshold), 1), dictionary=d
+        ).select("id1", "id2")
+    if rule.sim == "lev":
+        return edit_distance_self_join(
+            df, id_col, rule.attr, d=max(int(rule.threshold), 0)
+        ).select("id1", "id2")
+    if rule.sim == "exm":
+        return exact_self_join(df, id_col, rule.attr)
+    if rule.sim == "anm":
+        return absolute_norm_self_join(
+            df, id_col, rule.attr, threshold=rule.threshold
+        ).select("id1", "id2")
+    raise ValueError(f"unsupported rule sim {rule.sim!r}")
+
+
+def _run_rule_rs(df_r: DataFrame, df_s: DataFrame, id_col: str, rule: Rule,
+                 cache_r: _TokenCache, cache_s: _TokenCache, weighted: bool) -> DataFrame:
+    if rule.sim in ("jac", "cos", "dice", "overlap"):
+        tr = cache_r.tokens(df_r, id_col, rule)
+        ts = cache_s.tokens(df_s, id_col, rule)
+        union = tr.select("tokens").unionAll(ts.select("tokens"))
+        d = cache_r.dictionary(union, rule)
+        if rule.sim == "overlap":
+            return overlap_rs_join(tr, ts, id_col, "tokens",
+                                   c=max(int(rule.threshold), 1), dictionary=d).select("id1", "id2")
+        return set_similarity_rs_join(
+            tr, ts, id_col, "tokens", sim=rule.sim, threshold=rule.threshold,
+            weighted=weighted, dictionary=d,
+        ).select("id1", "id2")
+    if rule.sim == "lev":
+        return edit_distance_rs_join(df_r, df_s, id_col, rule.attr,
+                                     d=max(int(rule.threshold), 0)).select("id1", "id2")
+    if rule.sim == "exm":
+        return exact_rs_join(df_r, df_s, id_col, rule.attr)
+    if rule.sim == "anm":
+        return absolute_norm_rs_join(df_r, df_s, id_col, rule.attr,
+                                     threshold=rule.threshold).select("id1", "id2")
+    raise ValueError(f"unsupported rule sim {rule.sim!r}")
+
+
+def _prune_degenerate_lev(rules: list[Rule]) -> list[Rule]:
+    """lev threshold <= 0 == exact join; skip if an exm rule on the attr exists."""
+    exm_attrs = {r.attr for r in rules if r.sim == "exm"}
+    out = []
+    for r in rules:
+        if r.sim == "lev" and r.threshold <= 0 and r.attr in exm_attrs:
+            log.info("skipping degenerate lev rule on %s (covered by exm)", r.attr)
+            continue
+        out.append(r)
+    return out
+
+
+def block_self(
+    df: DataFrame,
+    id_col: str,
+    rules: list[Rule],
+    weighted: bool = False,
+) -> DataFrame:
+    """Union of all rules' pair sets: (id1, id2, rules_passed), id1 < id2."""
+    rules = _prune_degenerate_lev(rules)
+    if not rules:
+        raise ValueError("no blocking rules")
+    cache = _TokenCache()
+    per_rule = [_run_rule_self(df, id_col, r, cache, weighted) for r in rules]
+    allpairs = per_rule[0]
+    for p in per_rule[1:]:
+        allpairs = allpairs.unionByName(p)
+    return (
+        allpairs.groupBy("id1", "id2")
+        .agg(F.count("*").cast("int").alias("rules_passed"))
+    )
+
+
+def block_rs(
+    df_r: DataFrame,
+    df_s: DataFrame,
+    id_col: str,
+    rules: list[Rule],
+    weighted: bool = False,
+) -> DataFrame:
+    rules = _prune_degenerate_lev(rules)
+    if not rules:
+        raise ValueError("no blocking rules")
+    cache_r, cache_s = _TokenCache(), _TokenCache()
+    per_rule = [_run_rule_rs(df_r, df_s, id_col, r, cache_r, cache_s, weighted) for r in rules]
+    allpairs = per_rule[0]
+    for p in per_rule[1:]:
+        allpairs = allpairs.unionByName(p)
+    return allpairs.groupBy("id1", "id2").agg(F.count("*").cast("int").alias("rules_passed"))
+
+
+def blocking_metrics(cand: DataFrame, gold: DataFrame, n_rows: int,
+                     n_rows_b: int | None = None) -> dict:
+    """recall / |C| / CSSR (block.cc:316-321). gold: (id1, id2) canonical."""
+    g = gold.select("id1", "id2")
+    hits = cand.join(g, ["id1", "id2"]).count()
+    n_gold = g.count()
+    n_cand = cand.count()
+    cartesian = n_rows * n_rows_b if n_rows_b else n_rows * (n_rows - 1) / 2
+    return {
+        "recall": hits / n_gold if n_gold else 1.0,
+        "candidates": n_cand,
+        "gold": n_gold,
+        "cssr": n_cand / cartesian if cartesian else 0.0,
+    }

@@ -1,0 +1,97 @@
+"""Iterative connected components: large-star / small-star (SURVEY V8, §4.3).
+
+Transitive-closure clustering of matched pairs — the Spark-native replacement
+for the reference's driver-side networkx connectivity
+(``/root/reference/simjoin_entitymatching/value_matcher/interchangeable.py:70-158``)
+and sampler union-find (``cpp/sampler/sample.h:25-40``), which cannot hold
+10^12-document graphs. Algorithm: Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC'14) alternating large-star/small-star — O(log n)
+rounds, each round two groupBy shuffles.
+
+- large-star: for every node u emit (v, min(Γ⁺(u))) for each neighbor v > u
+- small-star: orient edges (hi -> lo); for every hi emit (v, m) for each lo
+  neighbor v plus (hi, m), m = min(lo-neighbors ∪ {hi})
+- converged when the edge multiset stops changing; result rows (node, component)
+  with component = the minimum node id in the component (deterministic labels).
+
+Each iteration ``localCheckpoint``s to cut lineage (iterating over a growing
+Catalyst plan otherwise re-executes the whole history every round).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.select(F.col("u"), F.col("v")).unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    joined = directed.join(mins, "u")
+    a = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    b = joined.select(F.col("u"), F.col("m").alias("v")).distinct()
+    return a.unionAll(b).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``.
+
+    ``component`` is the minimum node id of the component. Deterministic,
+    independent of partitioning. Node ids must be orderable (int or string).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for it in range(max_iterations):
+        edges2 = _small_star(_large_star(edges)).localCheckpoint()
+        # converged iff the edge sets are identical (both are distinct sets)
+        n2 = edges2.count()
+        if n2 == edges.count() and edges2.join(edges, ["u", "v"], "left_anti").isEmpty():
+            edges = edges2
+            log.info("connected_components converged after %d iterations", it + 1)
+            break
+        edges = edges2
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+    # After convergence every edge points node -> component min. Nodes that are
+    # component minima appear only on the v side; add their self-assignments.
+    assign = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct().join(
+        assign.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return assign.unionByName(roots)
+
+
+def cluster_pairs(matches: DataFrame, src: str = "id1", dst: str = "id2") -> DataFrame:
+    """Entity clusters from matched pairs (V8 cluster_pairs contract):
+    every record in a cluster with cluster id = min record id."""
+    return connected_components(matches, src, dst)

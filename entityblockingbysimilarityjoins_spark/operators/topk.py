@@ -1,0 +1,72 @@
+"""Top-K candidate ranking (SURVEY §2.6, K1-K5).
+
+The reference ranks candidate pairs with Fagin's Threshold Algorithm over four
+ranked similarity lists (jaccard, cosine, dice, overlapCoeff of the
+representative attribute's dlm tokens — ``/root/reference/cpp/topk/topk.cc:31-95,530-653``)
+or by an F1-weighted sum of all rules' similarities (topk.cc:1053-1523).
+
+In Spark, TA's early-termination is pointless: computing the four similarity
+columns for every candidate and taking a distributed top-K
+(per-partition partial top-K + final merge — ``orderBy().limit(K)`` compiles
+to TakeOrderedAndProject) touches each candidate exactly once with no index
+builds. Determinism: the reference's heaps tie-break by arrival order
+(setjoin.h:74-78); we define the total order (score DESC, id1 ASC, id2 ASC)
+(SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sim as S
+
+#: the four TA lists of topk.cc:31-95
+TA_SIMS = ("jac", "cos", "dice", "overlap_coeff")
+
+
+def attach_pair_tokens(pairs: DataFrame, tokens_df: DataFrame, id_col: str = "rid",
+                       tokens_col: str = "tokens") -> DataFrame:
+    t = tokens_df.select(F.col(id_col), F.col(tokens_col))
+    return (
+        pairs.join(t.withColumnsRenamed({id_col: "id1", tokens_col: "__t1"}), "id1")
+        .join(t.withColumnsRenamed({id_col: "id2", tokens_col: "__t2"}), "id2")
+    )
+
+
+def ta_score(t1: Column, t2: Column) -> Column:
+    """Sum of the four TA similarities (row upper bound in topk.cc:588-613)."""
+    return sum(S.SET_SIMS[name](t1, t2) for name in TA_SIMS)
+
+
+def topk_via_ta(
+    pairs: DataFrame,
+    tokens_df: DataFrame,
+    k: int,
+    id_col: str = "rid",
+    tokens_col: str = "tokens",
+    score_col: str = "score",
+) -> DataFrame:
+    """K1: global top-K candidate pairs by the 4-sim TA score (self or RS)."""
+    scored = attach_pair_tokens(pairs, tokens_df, id_col, tokens_col).withColumn(
+        score_col, ta_score(F.col("__t1"), F.col("__t2"))
+    ).drop("__t1", "__t2")
+    return scored.orderBy(F.desc(score_col), F.asc("id1"), F.asc("id2")).limit(k)
+
+
+def topk_by_weighted_score(
+    scored_pairs: DataFrame,
+    k: int,
+    score_col: str = "score",
+) -> DataFrame:
+    """K2/K5: top-K of an already-scored pair table, deterministic order."""
+    return scored_pairs.orderBy(F.desc(score_col), F.asc("id1"), F.asc("id2")).limit(k)
+
+
+def cap_pairs(pairs: DataFrame, tokens_df: DataFrame, max_pairs: int,
+              id_col: str = "rid", tokens_col: str = "tokens") -> DataFrame:
+    """K3 overflow valve: if |pairs| exceeds max_pairs, keep the TA top-K
+    (pretopKviaTA 'replace' mode, blocker_util.cc:111-149)."""
+    if pairs.limit(max_pairs + 1).count() <= max_pairs:
+        return pairs
+    return topk_via_ta(pairs, tokens_df, max_pairs, id_col, tokens_col).drop("score")
