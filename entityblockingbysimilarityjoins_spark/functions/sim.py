@@ -69,7 +69,7 @@ def exact_match(a: Column, b: Column) -> Column:
 
 def absolute_norm(a: Column, b: Column) -> Column:
     """Numeric relative similarity; inputs are string-typed numerics (simfunc.cc:297)."""
-    x, y = a.cast("double"), b.cast("double")
+    x, y = a.try_cast("double"), b.try_cast("double")
     mx = F.greatest(F.abs(x), F.abs(y))
     return (
         F.when(x.isNull() | y.isNull(), F.lit(0.0))

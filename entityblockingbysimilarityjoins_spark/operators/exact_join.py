@@ -52,7 +52,7 @@ def _anm_sim(x: Column, y: Column) -> Column:
 
 def _bucketed(df: DataFrame, id_col: str, num_col: str, t: float, side: str, probe: bool) -> DataFrame:
     """(rid, v, bucket) rows; probe side explodes into neighbor buckets."""
-    v = F.col(num_col).cast("double")
+    v = F.col(num_col).try_cast("double")
     slim = df.select(F.col(id_col).alias(f"id{side}"), v.alias(f"v{side}")).filter(
         v.isNotNull()
     )

@@ -1,0 +1,80 @@
+"""End-to-end EM pipeline acceptance (BASELINE.md targets, FIXTURES F1-F4):
+matching F1 >= 0.99 at fixed blocking keys, blocking recall, byte-identical
+text per url, checkpoint/resume reproducibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entityblockingbysimilarityjoins_spark.plans.pipeline import (
+    PipelineConfig,
+    audit_text_identity,
+    run_pipeline,
+)
+from entityblockingbysimilarityjoins_spark.sources.pages import (
+    generate_gold,
+    generate_pages,
+)
+
+N_ENTITIES = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = generate_pages(spark, N_ENTITIES, seed=42).persist()
+    gold = generate_gold(spark, N_ENTITIES, seed=42).persist()
+    pages.count(), gold.count()
+    return pages, gold
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    pages, gold = corpus
+    return run_pipeline(spark, pages, gold, PipelineConfig(n_random_negatives=800))
+
+
+def test_generator_deterministic(spark):
+    a = generate_pages(spark, 50, seed=7).orderBy("url").collect()
+    b = generate_pages(spark, 50, seed=7).repartition(11).orderBy("url").collect()
+    assert a == b
+
+
+def test_gold_pairs_are_intra_entity(spark, corpus):
+    pages, gold = corpus
+    assert gold.filter(F.col("url1") >= F.col("url2")).count() == 0
+    assert gold.count() > N_ENTITIES * 0.5
+
+
+def test_blocking_recall(result):
+    assert result["metrics"]["blocking"]["recall"] >= 0.98
+
+
+def test_matching_f1_target(result):
+    assert result["metrics"]["matching"]["f1"] >= 0.99
+
+
+def test_text_byte_identity(spark, corpus, result):
+    pages, _ = corpus
+    assert audit_text_identity(pages, result["records"])
+
+
+def test_clusters_are_entities(spark, corpus, result):
+    # every matched pair's two urls must share an entity prefix in >=99% of cases
+    bad = result["matches"].filter(
+        F.regexp_extract("id1", r"/p/(\d+)-", 1) != F.regexp_extract("id2", r"/p/(\d+)-", 1)
+    ).count()
+    total = result["matches"].count()
+    assert total > 0 and bad / total <= 0.01
+
+
+def test_checkpoint_resume_reproduces(spark, corpus, tmp_path_factory):
+    pages, gold = corpus
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    cfg = PipelineConfig(n_random_negatives=800, checkpoint_dir=ckpt)
+    r1 = run_pipeline(spark, pages, gold, cfg)
+    m1 = {(r["id1"], r["id2"]) for r in r1["matches"].collect()}
+    # resume: stages read back from parquet, same outputs
+    r2 = run_pipeline(spark, pages, gold, cfg)
+    m2 = {(r["id1"], r["id2"]) for r in r2["matches"].collect()}
+    assert m1 == m2
