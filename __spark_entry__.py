@@ -32,6 +32,25 @@ from entityblockingbysimilarityjoins_spark.operators.set_join import (
     set_similarity_self_join,
 )
 from entityblockingbysimilarityjoins_spark.operators.topk import topk_via_ta
+from entityblockingbysimilarityjoins_spark.functions.text_stats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    subword_count,
+    token_count,
+)
+from entityblockingbysimilarityjoins_spark.functions.tokenize import tokens_wspace
+from entityblockingbysimilarityjoins_spark.operators.ann import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+)
+from entityblockingbysimilarityjoins_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from entityblockingbysimilarityjoins_spark.sources.rules import Rule
 
 # ---------------------------------------------------------------------------
@@ -49,6 +68,32 @@ _TOK_CTE = (
 )
 
 _OVLP = "len(list_intersect(a.tokens, b.tokens))"
+
+#: whitespace tokens (single-space delimiter runs), matching tokens_wspace
+_WS_CTE = (
+    "WITH tk AS (SELECT doc_id, "
+    "list_sort(list_distinct(list_filter(string_split_regex(text, ' +'), "
+    "x -> x <> ''))) AS tokens FROM documents)"
+)
+
+#: character 5-grams: fully-alphanumeric 5-char windows, matching tokens_qgram
+_QG5_CTE = (
+    "WITH tk AS (SELECT doc_id, "
+    "list_sort(list_distinct(list_filter("
+    "list_transform(range(1, greatest(length(text) - 4, 0) + 1), "
+    "i -> substring(text, i, 5)), "
+    "x -> regexp_matches(x, '^[a-zA-Z0-9]{5}$')))) AS tokens FROM documents)"
+)
+
+from entityblockingbysimilarityjoins_spark.functions.text_stats import LANG_MARKERS as _LM
+
+_ALL_MARKERS_SQL = "[" + ", ".join(
+    f"'{w}'" for ws in _LM.values() for w in ws) + "]"
+_LANG_HITS_SQL = ", ".join(
+    "len(list_intersect(list_distinct(list_transform(wtoks, x -> lower(x))), ["
+    + ", ".join(f"'{w}'" for w in ws) + f"])) AS h_{lang}"
+    for lang, ws in _LM.items()
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +164,55 @@ def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_docs(spark, sf_dir), "doc_id", ["text"])
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("rid"), tokens_wspace(F.col("text")).alias("tokens"))
+    return minhash_lsh_pairs(toks, "rid", "tokens", threshold=0.9)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("rid"), tokens_wspace(F.col("text")).alias("tokens"))
+    return simhash_pairs(toks, "rid", "tokens", hamming_k=3)
+
+
+def _q_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                               threshold=0.7, q=5).withColumn("sim", F.round("sim", 6))
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3,
+                                   method="brute").withColumn("cos", F.round("cos", 6))
+
+
+def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_bruteforce_topk(emb, emb, "vec_id", "embedding", k=5).withColumn(
+        "cos", F.round("cos", 6))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, emb, "vec_id", "embedding", k=5)
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        subword_count(F.col("text")).alias("n_subwords"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rule-union blocker over sf0.001 pages-like documents."""
     return _q_block(spark, "/root/testdata/sf0.001")
@@ -136,6 +230,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_union": _q_block,
         "topk_ta": _q_topk,
         "connected_components": _q_cc,
+        "exact_dedup_groups": _q_exact_dedup,
+        "minhash_dedup": _q_minhash,
+        "simhash_dedup": _q_simhash,           # rows-only (bit-level, not SQL)
+        "ngram_dedup": _q_ngram_dedup,
+        "embedding_neardup": _q_emb_neardup,
+        "ann_topk": _q_ann,
+        "ann_lsh_topk": _q_ann_lsh,            # rows-only (approximate)
+        "text_stats": _q_text_stats,
     }
 
 
@@ -225,4 +327,67 @@ SELECT node, min(comp) AS component FROM (
     SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node WHERE w.comp < e.v
   ) SELECT node, comp FROM walk
 ) GROUP BY node""",
+        "exact_dedup_groups": """
+SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY text) AS group_id FROM documents""",
+        "minhash_dedup": f"""{_WS_CTE}
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       {_OVLP}::DOUBLE / (len(a.tokens) + len(b.tokens) - {_OVLP}) AS jac
+FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+WHERE len(a.tokens) > 0 AND len(b.tokens) > 0
+  AND {_OVLP}::DOUBLE / (len(a.tokens) + len(b.tokens) - {_OVLP}) >= 0.9""",
+        "ngram_dedup": f"""{_QG5_CTE}
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round({_OVLP}::DOUBLE / (len(a.tokens) + len(b.tokens) - {_OVLP}), 6) AS sim
+FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+WHERE len(a.tokens) > 0 AND len(b.tokens) > 0
+  AND {_OVLP}::DOUBLE / (len(a.tokens) + len(b.tokens) - {_OVLP}) >= 0.7""",
+        "embedding_neardup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3""",
+        "ann_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.emb, b.emb) AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, round(c, 6) AS cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC)::INT AS rank
+FROM scored
+QUALIFY rank <= 5""",
+        "text_stats": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS wtoks
+  FROM documents
+), h AS (
+  SELECT doc_id, text, wtoks,
+         len(list_intersect(list_distinct(list_transform(wtoks, x -> lower(x))),
+             {_ALL_MARKERS_SQL})) AS stop_hits,
+         {_LANG_HITS_SQL}
+  FROM t
+)
+SELECT doc_id,
+       len(wtoks)::INT AS n_tokens,
+       (len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+        + len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')))::INT AS n_subwords,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unk'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       round(0.4 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / length(text)
+                    ELSE 0.0 END)
+           + 0.2 * least(stop_hits::DOUBLE / 3.0, 1.0)
+           + 0.2 * (CASE WHEN len(wtoks) > 0
+                         AND length(text)::DOUBLE / len(wtoks) >= 3.0
+                         AND length(text)::DOUBLE / len(wtoks) <= 12.0
+                    THEN 1.0 ELSE 0.5 END)
+           + 0.2 * least(length(text)::DOUBLE / 200.0, 1.0), 6) AS quality,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM h""",
     }

@@ -26,6 +26,12 @@ BENCH_QUERIES = [
     "block_union",
     "topk_ta",
     "connected_components",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ngram_dedup",
+    "embedding_neardup",
+    "ann_topk",
+    "text_stats",
 ]
 
 

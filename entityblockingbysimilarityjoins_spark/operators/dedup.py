@@ -1,0 +1,296 @@
+"""Document deduplication operators for training-data pipelines.
+
+Beyond the reference's blocker (which is itself a near-dup engine), these are
+the dedup primitives a 100 TB corpus pipeline needs, each Spark-native:
+
+- ``exact_duplicate_groups``: sha2 hash -> groupBy; the group id is the min
+  record id (deterministic representative).
+- ``minhash_lsh_pairs``: shingle -> xxhash64 (JVM) -> minhash signatures
+  (vectorized numpy over Arrow batches) -> banded bucket join -> exact
+  Jaccard verification with array_intersect. With b bands of r rows the
+  candidate recall at Jaccard s is 1-(1-s^r)^b; defaults (b=32, r=4) give
+  >0.9999 at s>=0.8 — verification then makes the *output* exact w.h.p.
+- ``simhash_pairs``: 64-bit simhash from token hashes (numpy), hamming <= k
+  via the pigeonhole block join (k+1 blocks of the signature as join keys),
+  verified natively with bit_count(s1 ^ s2).
+- ``ngram_jaccard_pairs``: q-gram/word-shingle Jaccard via the exact
+  prefix-filter set join (operators.set_join).
+- ``embedding_neardup_pairs``: cosine >= t over an embedding column;
+  'brute' = block-nested loop with native zip_with dot products (exact),
+  'lsh' = random-hyperplane band buckets + exact verification (scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.tokenize import tokens_qgram, tokens_wspace
+from .set_join import set_similarity_self_join
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """(id, group_id) for every row; identical rows share group_id = min id."""
+    h = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                                     for c in cols]), 256)
+    with_h = df.select(F.col(id_col).alias("id"), h.alias("__h"))
+    reps = with_h.groupBy("__h").agg(F.min("id").alias("group_id"))
+    return with_h.join(reps, "__h").select("id", "group_id")
+
+
+def dedup_exact(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Keep one representative row (min id) per identical (cols) tuple."""
+    groups = exact_duplicate_groups(df, id_col, cols)
+    keep = groups.filter(F.col("id") == F.col("group_id")).select("id")
+    return df.join(keep.withColumnsRenamed({"id": id_col}), id_col)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(tokens_hashed: Column, num_perm: int = 128, seed: int = 1) -> Column:
+    """array<long> minhash signature from an array<long> of token hashes."""
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _minhash_params(num_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        empty = np.full(num_perm, _MERSENNE, dtype=np.int64)
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append(empty)
+                continue
+            x = np.asarray(hs, dtype=np.uint64).astype(np.int64)[:, None]
+            # (a*x + b) mod p, in object-free int64 via python ints avoided:
+            vals = (x * a + b) % _MERSENNE
+            out.append(vals.min(axis=0))
+        return pd.Series(out)
+
+    return _sig(tokens_hashed)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 1,
+    sim_col: str = "jac",
+) -> DataFrame:
+    """Near-dup pairs (id1 < id2) with verified exact Jaccard >= threshold."""
+    if num_perm % bands != 0:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    base = (
+        df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn("__h", F.transform("toks", lambda t: F.xxhash64(t)))
+        .withColumn("__sig", minhash_signature(F.col("__h"), num_perm, seed))
+        .persist()
+    )
+    bands_df = base.select(
+        "rid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.slice("__sig", i * r + 1, r).cast("string")),
+            )
+        ).alias("band", "bh"),
+    )
+    l = bands_df.withColumnsRenamed({"rid": "rid1"})
+    rr = bands_df.withColumnsRenamed({"rid": "rid2"})
+    cand = (
+        l.join(rr, ["band", "bh"])
+        .filter(F.col("rid1") < F.col("rid2"))
+        .select("rid1", "rid2")
+        .dropDuplicates(["rid1", "rid2"])
+    )
+    verified = (
+        cand.join(base.select(F.col("rid").alias("rid1"), F.col("toks").alias("t1")), "rid1")
+        .join(base.select(F.col("rid").alias("rid2"), F.col("toks").alias("t2")), "rid2")
+        .withColumn("__o", F.size(F.array_intersect("t1", "t2")))
+        .withColumn(sim_col, F.col("__o") / (F.size("t1") + F.size("t2") - F.col("__o")))
+        .filter(F.col(sim_col) >= threshold)
+    )
+    return verified.select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), sim_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signature(tokens_hashed: Column) -> Column:
+    """64-bit simhash (long) from an array<long> of token hashes."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType as _L
+
+    @pandas_udf(_L())
+    def _sim(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append(0)
+                continue
+            x = np.asarray(hs, dtype=np.uint64)
+            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            v = np.where(bits.sum(axis=0) * 2 >= len(x), 1, 0).astype(np.uint64)
+            sig = np.uint64(0)
+            for i in range(64):
+                sig |= v[i] << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return _sim(tokens_hashed)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    hamming_k: int = 3,
+    dist_col: str = "hamming",
+) -> DataFrame:
+    """Pairs (id1 < id2) with simhash hamming distance <= k (exact via pigeonhole)."""
+    blocks = hamming_k + 1
+    width = 64 // blocks
+    base = (
+        df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn("__h", F.transform("toks", lambda t: F.xxhash64(t)))
+        .withColumn("__sig", simhash_signature(F.col("__h")))
+        .persist()
+    )
+    mask = (1 << width) - 1
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(F.lit(mask)).alias("v"),
+        )
+        for b in range(blocks)
+    ]
+    blk = base.select(
+        "rid", "__sig", F.explode(F.array(*block_structs)).alias("blk")
+    ).select("rid", "__sig", F.col("blk.b").alias("b"), F.col("blk.v").alias("v"))
+    l = blk.withColumnsRenamed({"rid": "rid1", "__sig": "s1"})
+    r = blk.withColumnsRenamed({"rid": "rid2", "__sig": "s2"})
+    cand = (
+        l.join(r, ["b", "v"])
+        .filter(F.col("rid1") < F.col("rid2"))
+        .select("rid1", "rid2", "s1", "s2")
+        .dropDuplicates(["rid1", "rid2"])
+    )
+    return (
+        cand.withColumn(dist_col, F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col(dist_col) <= hamming_k)
+        .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), dist_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle Jaccard + embedding near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    q: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via the prefix-filter set join.
+    q=None -> word shingles (wspace); q=int -> character q-grams."""
+    tok = tokens_qgram(F.col(text_col), q) if q else tokens_wspace(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("rid"), tok.alias("tokens"))
+    return set_similarity_self_join(toks, "rid", "tokens", "jac", threshold)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+    sim_col: str = "cos",
+) -> DataFrame:
+    """Pairs with cosine >= threshold. 'brute' is exact; 'lsh' buckets by
+    random-hyperplane sign bands then verifies exactly (scale path)."""
+    base = (
+        df.select(F.col(id_col).alias("rid"), F.col(emb_col).cast("array<double>").alias("e"))
+        .withColumn("__n", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .filter(F.col("__n") > 0)
+        .persist()
+    )
+    if method == "brute":
+        cand = (
+            base.select(F.col("rid").alias("rid1"), F.col("e").alias("e1"), F.col("__n").alias("n1"))
+            .crossJoin(base.select(F.col("rid").alias("rid2"), F.col("e").alias("e2"), F.col("__n").alias("n2")))
+            .filter(F.col("rid1") < F.col("rid2"))
+        )
+    elif method == "lsh":
+        if dim is None:
+            dim = len(base.select("e").first()["e"])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes * n_bands, dim))
+        sig_cols = []
+        for band in range(n_bands):
+            bits = []
+            for p in range(n_planes):
+                w = planes[band * n_planes + p]
+                proj = F.aggregate(
+                    F.zip_with(F.col("e"), F.array(*[F.lit(float(x)) for x in w]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) *
+                            F.lit(1 << p))
+            sig_cols.append(sum(bits[1:], bits[0]).alias(f"__b{band}"))
+        sig = base.select("rid", "e", "__n", *sig_cols)
+        bands_df = sig.select(
+            "rid", "e", "__n",
+            F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(n_bands)])).alias("band", "bv"),
+        )
+        l = bands_df.select(F.col("rid").alias("rid1"), F.col("e").alias("e1"),
+                            F.col("__n").alias("n1"), "band", "bv")
+        r = bands_df.select(F.col("rid").alias("rid2"), F.col("e").alias("e2"),
+                            F.col("__n").alias("n2"), "band", "bv")
+        cand = (
+            l.join(r, ["band", "bv"])
+            .filter(F.col("rid1") < F.col("rid2"))
+            .dropDuplicates(["rid1", "rid2"])
+        )
+    else:
+        raise ValueError(method)
+    return (
+        cand.withColumn(sim_col, _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
+        .filter(F.col(sim_col) >= threshold)
+        .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), sim_col)
+    )

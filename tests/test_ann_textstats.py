@@ -1,0 +1,107 @@
+"""ANN top-k vs numpy oracle; text statistics fixtures; multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entityblockingbysimilarityjoins_spark.functions.text_stats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    subword_count,
+    token_count,
+)
+from entityblockingbysimilarityjoins_spark.operators.ann import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+)
+
+
+def _emb_rows(seed, n, dim=12):
+    rng = np.random.default_rng(seed)
+    return [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)]
+
+
+def test_ann_bruteforce_matches_numpy(spark):
+    rows = _emb_rows(3, 30)
+    df = spark.createDataFrame(rows, ["rid", "e"])
+    k = 5
+    got = ann_bruteforce_topk(df, df, "rid", "e", k=k).collect()
+    M = np.array([v for _, v in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    for r in got:
+        q, n_, c = r["query_id"], r["neighbor_id"], r["cos"]
+        assert c == pytest.approx(float(sims[q, n_]), abs=1e-9)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert len(lst) == k
+        order = np.argsort([-sims[q, j] if j != q else np.inf for j in range(len(rows))])
+        want = [j for j in order if j != q][:k]
+        assert [n for _, n, _ in lst] == want
+
+
+def test_ann_lsh_subset_and_ranked(spark):
+    rows = _emb_rows(7, 40)
+    df = spark.createDataFrame(rows, ["rid", "e"])
+    res = ann_lsh_topk(df, df, "rid", "e", k=3, n_planes=6, n_bands=8).collect()
+    assert all(r["rank"] <= 3 for r in res)
+    # top-1 LSH neighbor should usually be the true top-1; check >70%
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in ann_bruteforce_topk(df, df, "rid", "e", k=1).collect()}
+    lsh1 = {r["query_id"]: r["neighbor_id"] for r in res if r["rank"] == 1}
+    hits = sum(1 for q, n_ in lsh1.items() if brute.get((q, 1)) == n_)
+    assert hits / max(len(lsh1), 1) > 0.7
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello  world foo",), ("a-b c!",), ("",)], ["t"])
+    rows = df.select(token_count(F.col("t")).alias("n"),
+                     subword_count(F.col("t")).alias("s")).collect()
+    assert [r["n"] for r in rows] == [3, 2, 0]
+    assert rows[1]["s"] == 5  # a, b, c runs + '-' + '!'
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",), ("der hund und die katze ist da",),
+         ("le chat et la maison est grande",), ("xyz qqq www",)], ["t"])
+    assert [r[0] for r in df.select(lang_id(F.col("t"))).collect()] == \
+        ["en", "de", "fr", "unk"]
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("The quick brown fox jumps over the lazy dog and runs away",),
+         ("!!!! ???? ....",)], ["t"])
+    q = [r[0] for r in df.select(quality_score(F.col("t"))).collect()]
+    assert q[0] > q[1]
+    assert 0.0 <= q[1] <= q[0] <= 1.0
+    fp = spark.createDataFrame([("Hello  World",), ("hello world",)], ["t"])
+    h = [r[0] for r in fp.select(fingerprint(F.col("t"))).collect()]
+    assert h[0] == h[1]  # case-fold + ws-collapse canonicalization
+
+
+def test_multimodal_plumbing(spark):
+    from entityblockingbysimilarityjoins_spark.operators.multimodal import (
+        decode_image_features,
+        sample_video_frames,
+    )
+    rows = [(i, "image", bytes([i]) * 100, {"src": "t"}) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary, meta map<string,string>")
+    feats = decode_image_features(df, fake=True)
+    out = feats.collect()
+    assert len(out) == 10 and all(r["width"] >= 64 for r in out)
+    # deterministic across runs
+    out2 = decode_image_features(df.repartition(5), fake=True).collect()
+    assert sorted((r["media_id"], r["phash"]) for r in out2) == \
+        sorted((r["media_id"], r["phash"]) for r in out)
+    frames = sample_video_frames(df, n_frames=3, fake=True)
+    assert frames.count() == 30
+    with pytest.raises(Exception):
+        decode_image_features(df, fake=False).collect()

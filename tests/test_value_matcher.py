@@ -1,0 +1,83 @@
+"""Value matcher: deterministic embeddings, cosine grouping vs numpy oracle,
+value normalization, IC-expanded clustering (FIXTURES F9)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entityblockingbysimilarityjoins_spark.value_matcher.embed import (
+    _embed_numpy,
+    cosine_sim,
+    hashed_embedding,
+)
+from entityblockingbysimilarityjoins_spark.value_matcher.interchangeable import (
+    cluster_pairs_ic,
+    group_values,
+    normalize_values,
+    value_pairs_from_matches,
+)
+
+
+def test_embedding_deterministic_and_normalized(spark):
+    df = spark.createDataFrame([("alpha beta",), ("alpha beta",), ("zzz",)], ["v"])
+    rows = df.select(hashed_embedding("v").alias("e")).collect()
+    assert rows[0]["e"] == rows[1]["e"]
+    assert np.linalg.norm(rows[0]["e"]) == pytest.approx(1.0, abs=1e-5)
+    # matches the driver-side numpy reference implementation
+    import pandas as pd
+    ref = _embed_numpy(pd.Series(["alpha beta"]), 64, 0)[0]
+    assert np.allclose(rows[0]["e"], ref, atol=1e-6)
+
+
+def test_cosine_sim_column(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+                               ["a", "b"])
+    vals = [r[0] for r in df.select(cosine_sim(F.col("a"), F.col("b"))).collect()]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[1] == pytest.approx(0.0)
+
+
+def test_value_pairs_and_grouping(spark):
+    records = spark.createDataFrame(
+        [(0, "ultrabook pro 15"), (1, "ultrabook pro 15 inch"), (2, "ultrabook pro 15in"),
+         (3, "mixer deluxe"), (4, "qqq zzz www")],
+        ["rid", "name"],
+    )
+    matches = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], ["id1", "id2"])
+    vp = value_pairs_from_matches(matches, records, "rid", "name")
+    got = {(r["v1"], r["v2"]) for r in vp.collect()}
+    assert len(got) == 3 and all(a < b for a, b in got)
+    groups = group_values(vp, tau=0.75)
+    g = {r["value"]: r["representative"] for r in groups.collect()}
+    # the three near-identical names group together; the unrelated pair does not
+    assert g.get("ultrabook pro 15 inch") == "ultrabook pro 15"
+    assert g.get("ultrabook pro 15in") == "ultrabook pro 15"
+    assert "mixer deluxe" not in g and "qqq zzz www" not in g
+
+
+def test_normalize_values(spark):
+    records = spark.createDataFrame([(0, "a v1"), (1, "a v2"), (2, "other")], ["rid", "name"])
+    groups = spark.createDataFrame([("a v1", "a v1"), ("a v2", "a v1")],
+                                   ["value", "representative"])
+    out = {r["rid"]: r["name"] for r in
+           normalize_values(records, "name", groups).collect()}
+    assert out == {0: "a v1", 1: "a v1", 2: "other"}
+
+
+def test_cluster_pairs_ic_expansion(spark):
+    # records 0-1 matched; records 2,3 unmatched but share an IC value group
+    records = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "p v1"), (3, "p v2"), (4, "lonely")],
+        ["rid", "name"],
+    )
+    matches = spark.createDataFrame([(0, 1)], ["id1", "id2"])
+    groups = spark.createDataFrame([("p v1", "p v1"), ("p v2", "p v1")],
+                                   ["value", "representative"])
+    comp = cluster_pairs_ic(matches, records, "rid", {"name": groups})
+    cl = {r["node"]: r["component"] for r in comp.collect()}
+    assert cl["0"] == cl["1"]
+    assert cl["2"] == cl["3"]
+    assert cl["0"] != cl["2"]
+    assert "4" not in cl  # no edges -> not clustered
