@@ -188,7 +188,7 @@ def _q_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3,
-                                   method="brute").withColumn("cos", F.round("cos", 6))
+                                   method="blas").withColumn("cos", F.round("cos", 6))
 
 
 def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

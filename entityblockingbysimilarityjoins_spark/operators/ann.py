@@ -47,17 +47,64 @@ def ann_bruteforce_topk(
     emb_col: str,
     k: int = 10,
     exclude_self: bool = True,
+    impl: str = "blas",
 ) -> DataFrame:
-    """Exact top-k: (query_id, neighbor_id, cos, rank)."""
+    """Exact top-k: (query_id, neighbor_id, cos, rank).
+
+    impl='blas': the corpus matrix is broadcast to executors and every query
+    batch scores against it with one numpy matmul (Arrow batches, BLAS) —
+    the block-nested-loop shape that scales by partitioning queries; the
+    corpus side must fit an executor (beyond that, shard the corpus and merge
+    per-shard top-k, or switch to ann_lsh_topk).
+    impl='native': pure Column expressions (crossJoin + zip_with dot) — the
+    oracle path, no Python at all."""
     q = _prep(queries, id_col, emb_col, "query")
     c = _prep(corpus, id_col, emb_col, "neighbor")
-    pairs = q.crossJoin(c)
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
-        "cos", _dot(F.col("query_e"), F.col("neighbor_e")) / (F.col("query_n") * F.col("neighbor_n"))
-    )
-    return _topk(scored, k)
+    if impl == "native":
+        pairs = q.crossJoin(c)
+        if exclude_self:
+            pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = pairs.withColumn(
+            "cos", _dot(F.col("query_e"), F.col("neighbor_e")) / (F.col("query_n") * F.col("neighbor_n"))
+        )
+        return _topk(scored, k)
+
+    import pandas as pd
+
+    rows = c.select("neighbor_id", "neighbor_e", "neighbor_n").collect()
+    ids = np.array([r["neighbor_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.array([rows[i]["neighbor_e"] for i in order], dtype=np.float64)
+    M /= np.array([rows[i]["neighbor_n"] for i in order], dtype=np.float64)[:, None]
+    spark = queries.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_M = spark.sparkContext.broadcast(M)
+
+    def score(batches):
+        cid, cM = b_ids.value, b_M.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["query_e"].to_numpy()).astype(np.float64)
+            Q /= pdf["query_n"].to_numpy(dtype=np.float64)[:, None]
+            sims = Q @ cM.T
+            out_rows = []
+            for row_i, qid in enumerate(pdf["query_id"].to_numpy()):
+                s = sims[row_i]
+                mask = cid != qid if exclude_self else np.ones(len(cid), bool)
+                idx = np.flatnonzero(mask)
+                kk = min(k, len(idx))
+                part = idx[np.argpartition(-s[idx], kk - 1)[:kk]] if kk else idx
+                # deterministic total order: (cos desc, neighbor id asc)
+                part = part[np.lexsort((cid[part], -s[part]))]
+                for rank, j in enumerate(part, 1):
+                    out_rows.append((qid, cid[j], float(s[j]), rank))
+            yield pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "cos", "rank"])
+
+    qid_type = dict(queries.select(F.col(id_col)).dtypes)[id_col]
+    schema = f"query_id {qid_type}, neighbor_id {qid_type}, cos double, rank int"
+    return q.select("query_id", "query_e", "query_n").mapInPandas(score, schema=schema)
 
 
 def ann_lsh_topk(

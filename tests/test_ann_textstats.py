@@ -105,3 +105,13 @@ def test_multimodal_plumbing(spark):
     assert frames.count() == 30
     with pytest.raises(Exception):
         decode_image_features(df, fake=False).collect()
+
+
+def test_ann_native_equals_blas(spark):
+    rows = _emb_rows(21, 25)
+    df = spark.createDataFrame(rows, ["rid", "e"])
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in ann_bruteforce_topk(df, df, "rid", "e", k=4, impl="native").collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in ann_bruteforce_topk(df, df, "rid", "e", k=4, impl="blas").collect()}
+    assert a == b

@@ -144,3 +144,14 @@ def test_embedding_neardup_lsh_high_recall_subset(spark):
                                    n_planes=8, n_bands=8).collect()}
     assert lsh.issubset(brute)          # verification makes it precise
     assert len(lsh) >= 0.9 * len(brute)  # banding gives high recall at cos>=0.95
+
+
+def test_embedding_neardup_blas_equals_brute(spark):
+    rows = _emb_corpus(11, 30)
+    df = spark.createDataFrame(rows, ["rid", "e"])
+    t = 0.9
+    brute = {(r["id1"], r["id2"]) for r in
+             embedding_neardup_pairs(df, "rid", "e", threshold=t, method="brute").collect()}
+    blas = {(r["id1"], r["id2"]) for r in
+            embedding_neardup_pairs(df, "rid", "e", threshold=t, method="blas").collect()}
+    assert blas == brute
