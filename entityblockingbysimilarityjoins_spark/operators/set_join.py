@@ -6,39 +6,42 @@ pair whose (optionally IDF-weighted) similarity meets the threshold, self or
 RS flavor, empty token sets never join (setjoin.cc:199-202), self pairs
 canonicalized ``id1 < id2`` (blocker_util.cc:37-108).
 
-The *algorithm* is Spark-native instead of the reference's inverted-index +
-heap design: the classical prefix-filter candidate join (AllPairs/PPJoin
-family, same family the reference's partition scheme descends from):
+The *algorithm* is Spark-native (AllPairs/PPJoin family) with everything
+after one equi-join fused into a single codegen stage:
 
-1. encode tokens as ints ordered rarest-first (``functions.dictionary``),
-2. per record keep only the **prefix** (the rarest ``|x| - ceil(f(t)*|x|) + 1``
-   tokens) — any qualifying pair must share a prefix token,
-3. explode prefixes -> hash-partitioned equi-join on token (narrow rows:
-   id/len/pos only, token arrays are NOT shuffled here),
-4. prune with the length filter and the positional filter,
-5. dropDuplicates -> join token arrays back -> verify the exact similarity
-   with native ``array_intersect`` expressions (whole-stage codegen).
+1. encode tokens as ints ordered rarest-first (``functions.dictionary``);
+2. explode two prefixes per record: the **probe** prefix
+   (``|x| - ceil(f(t)|x|) + 1`` rarest tokens) and, within it, the
+   **indexing** prefix (PPJoin: on the smaller side of any qualifying pair
+   the minimum overlap is >= f_short(t)*|x|, so a shared token must sit in
+   its first ``|x| - ceil(f_short|x|) + 1`` tokens);
+3. equi-join index entries against probe entries on the token — the ONLY
+   shuffle proportional to data; hot mid-frequency tokens explode-join as
+   index_freq x probe_freq instead of probe^2;
+4. in the same stage: smaller-side ordering filter, length filter,
+   positional filter, then **inline verification** with native
+   ``array_intersect`` on the token arrays carried through the join —
+   candidates are never materialized or shuffled;
+5. ``dropDuplicates`` only on the verified output (pairs sharing several
+   prefix tokens emit duplicates; the verified set is tiny).
 
 Scale levers (north_rule: "salted, skew-aware inverted-index self-join"):
-- prefixes contain the *rarest* tokens, which bounds posting-list skew by
-  construction; AQE skew-join splits what remains,
+- prefixes hold only the rarest tokens (deterministic freq-ordered ids);
+- AQE skew-join splits oversized token groups at shuffle time;
 - ``max_token_freq`` optionally drops ultra-hot tokens from candidate
-  generation (the reference's LIMIT_INV_SIZE/MAX_INV_SIZE valve,
-  config.h:109-110) — logged, recall caveat, off by default,
-- candidate rows are (token, id, len, pos): shuffle bytes stay minimal at
-  100 TB; verification re-joins arrays only for surviving candidates.
+  generation (LIMIT_INV_SIZE/MAX_INV_SIZE valve, config.h:109-110) —
+  logged, recall caveat, off by default;
+- no driver-side broadcast of token-array payloads (shuffle_hash joins).
 """
 
 from __future__ import annotations
 
 import logging
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dictionary import build_dictionary, encode_tokens
-from ..functions import sim as S
 
 log = logging.getLogger(__name__)
 
@@ -46,7 +49,7 @@ _EPS = 1e-9  # guard float error in ceil() bounds: prune conservatively
 
 
 def _prefix_factor(sim: str, t: float) -> float:
-    """Fraction of |x| that can be skipped: prefix = |x| - ceil(f*|x|) + 1."""
+    """Probe-prefix skip fraction: prefix = |x| - ceil(f*|x|) + 1."""
     if sim == "jac":
         return t
     if sim == "cos":
@@ -56,10 +59,18 @@ def _prefix_factor(sim: str, t: float) -> float:
     raise ValueError(f"set join does not support sim={sim!r}")
 
 
-def _length_lb(sim: str, t: float, length: Column) -> Column:
-    """Minimum partner size for a record of `length` tokens."""
-    f = _prefix_factor(sim, t)
-    return F.ceil(F.lit(f) * length - F.lit(_EPS))
+def _short_prefix_factor(sim: str, t: float) -> float:
+    """Indexing-prefix skip fraction for the smaller side (see module doc).
+
+    jac:  alpha = t/(1+t)(|x|+|y|) >= 2t/(1+t)*|x|
+    cos:  alpha = t*sqrt(|x||y|)   >= t*|x|
+    dice: alpha = t(|x|+|y|)/2     >= t*|x|
+    """
+    if sim == "jac":
+        return 2.0 * t / (1.0 + t)
+    if sim in ("cos", "dice"):
+        return t
+    raise ValueError(sim)
 
 
 def _min_overlap(sim: str, t: float, l1: Column, l2: Column) -> Column:
@@ -84,13 +95,17 @@ def _prepare(
     weighted: bool,
     broadcast_dict: bool,
 ) -> DataFrame:
-    """slim (rid, tids, len[, wt, idf_map]) with empties dropped (DROP_EMPTY)."""
+    """(sid, rid, tids, len[, wt, idf_map]) with empties dropped (DROP_EMPTY).
+
+    ``sid`` is a long surrogate so ordering/tie-breaks ride on 8-byte keys;
+    persisted so the assignment is stable across reuses."""
     slim = df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
     enc = encode_tokens(
         slim, dictionary, id_col="rid", tokens_col="toks",
         weight_col="wt" if weighted else None, broadcast_dict=broadcast_dict,
     ).drop("toks")
     enc = enc.filter(F.size("tids") > 0).withColumn("len", F.size("tids"))
+    enc = enc.withColumn("sid", F.monotonically_increasing_id())
     if weighted:
         # per-record token->idf map so weighted overlap verifies natively
         d = dictionary.select("tid", "idf")
@@ -103,68 +118,47 @@ def _prepare(
             .agg(F.map_from_arrays(F.collect_list("tid"), F.collect_list("idf")).alias("idf_map"))
         )
         enc = enc.join(m, "rid")
-    return enc
+    return enc.persist()
 
 
-def _candidates(
-    left: DataFrame,
-    right: DataFrame | None,
-    sim: str,
-    threshold: float,
-    max_token_freq: int | None,
-    dictionary: DataFrame,
-) -> DataFrame:
-    """Narrow candidate pairs (rid1, rid2) sharing a prefix token, pruned."""
-    f = _prefix_factor(sim, threshold)
-
-    def prefixed(df: DataFrame, side: str) -> DataFrame:
-        plen = (F.col("len") - F.ceil(F.lit(f) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
-        e = df.select(
-            F.col("rid").alias(f"rid{side}"),
-            F.col("len").alias(f"len{side}"),
-            F.posexplode(F.slice("tids", 1, plen)).alias(f"pos{side}", "tok"),
-        )
-        if max_token_freq is not None:
-            hot = dictionary.filter(F.col("freq") > max_token_freq).select(F.col("tid").alias("tok"))
-            e = e.join(F.broadcast(hot), "tok", "left_anti")
-            log.warning(
-                "set_join: dropping prefix tokens with freq > %d from candidate "
-                "generation — recall may drop below the exact contract", max_token_freq,
-            )
-        return e
-
-    l = prefixed(left, "1")
-    r = prefixed(right if right is not None else left, "2")
-    cond = [l["tok"] == r["tok"]]
-    if right is None:
-        cond.append(F.col("rid1") < F.col("rid2"))
-    cand = l.join(r, cond)
-    # length filter: least >= ceil(f * greatest)
-    lo, hi = F.least("len1", "len2"), F.greatest("len1", "len2")
-    cand = cand.filter(lo >= F.ceil(F.lit(f) * hi - F.lit(_EPS)))
-    # positional filter: remaining tokens after the shared prefix token must
-    # still allow alpha(l1,l2) overlaps (ppjoin bound; per-occurrence => safe superset)
-    ub = F.lit(1) + F.least(F.col("len1") - F.col("pos1") - 1, F.col("len2") - F.col("pos2") - 1)
-    cand = cand.filter(ub >= _min_overlap(sim, threshold, F.col("len1"), F.col("len2")))
-    return cand.select("rid1", "rid2").dropDuplicates(["rid1", "rid2"])
-
-
-def _verify(
-    cand: DataFrame,
-    left: DataFrame,
-    right: DataFrame | None,
+def _entries(
+    enc: DataFrame,
+    side: str,
     sim: str,
     threshold: float,
     weighted: bool,
-    sim_col: str,
+    max_token_freq: int | None,
+    dictionary: DataFrame,
 ) -> DataFrame:
-    r = right if right is not None else left
-    lcols = ["rid", "tids"] + (["wt", "idf_map"] if weighted else [])
-    rcols = ["rid", "tids"] + (["wt"] if weighted else [])
-    j = (
-        cand.join(left.select(*lcols).withColumnsRenamed({"rid": "rid1", "tids": "t1", "wt": "w1"}), "rid1")
-        .join(r.select(*rcols).withColumnsRenamed({"rid": "rid2", "tids": "t2", "wt": "w2"}), "rid2")
-    )
+    """Exploded probe-prefix rows with payload for inline verification."""
+    f = _prefix_factor(sim, threshold)
+    fs = _short_prefix_factor(sim, threshold)
+    plen = (F.col("len") - F.ceil(F.lit(f) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
+    slen = (F.col("len") - F.ceil(F.lit(fs) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
+    cols = [
+        F.col("sid").alias(f"sid{side}"),
+        F.col("rid").alias(f"rid{side}"),
+        F.col("tids").alias(f"t{side}"),
+        F.col("len").alias(f"len{side}"),
+        slen.alias(f"short{side}"),
+        F.posexplode(F.slice("tids", 1, plen)).alias(f"pos{side}", "tok"),
+    ]
+    if weighted:
+        cols.insert(5, F.col("wt").alias(f"w{side}"))
+        if side == "1":
+            cols.insert(6, F.col("idf_map"))
+    e = enc.select(*cols)
+    if max_token_freq is not None:
+        hot = dictionary.filter(F.col("freq") > max_token_freq).select(F.col("tid").alias("tok"))
+        e = e.join(F.broadcast(hot), "tok", "left_anti")
+        log.warning(
+            "set_join: dropping prefix tokens with freq > %d from candidate "
+            "generation — recall may drop below the exact contract", max_token_freq,
+        )
+    return e
+
+
+def _sim_value(sim: str, weighted: bool) -> Column:
     t1, t2 = F.col("t1"), F.col("t2")
     if weighted:
         wo = F.aggregate(
@@ -173,18 +167,36 @@ def _verify(
         )
         w1, w2 = F.col("w1"), F.col("w2")
         if sim == "jac":
-            value = wo / (w1 + w2 - wo)
-        elif sim == "cos":
-            value = wo / F.sqrt(w1 * w2)
-        else:
-            value = F.lit(2.0) * wo / (w1 + w2)
+            return wo / (w1 + w2 - wo)
+        if sim == "cos":
+            return wo / F.sqrt(w1 * w2)
+        return F.lit(2.0) * wo / (w1 + w2)
+    o = F.size(F.array_intersect(t1, t2)).cast("double")
+    l1, l2 = F.col("len1"), F.col("len2")
+    if sim == "jac":
+        return o / (l1 + l2 - o)
+    if sim == "cos":
+        return o / F.sqrt(l1.cast("double") * l2.cast("double"))
+    return F.lit(2.0) * o / (l1 + l2)
+
+
+def _fused_verify(joined: DataFrame, sim: str, threshold: float, weighted: bool,
+                  sim_col: str, canonicalize: bool) -> DataFrame:
+    """length + positional filters and inline similarity verification —
+    all inside the join's codegen stage; no candidate materialization."""
+    f = _prefix_factor(sim, threshold)
+    lo, hi = F.least("len1", "len2"), F.greatest("len1", "len2")
+    j = joined.filter(lo >= F.ceil(F.lit(f) * hi - F.lit(_EPS)))
+    ub = F.lit(1) + F.least(F.col("len1") - F.col("pos1") - 1,
+                            F.col("len2") - F.col("pos2") - 1)
+    j = j.filter(ub >= _min_overlap(sim, threshold, F.col("len1"), F.col("len2")))
+    j = j.withColumn(sim_col, _sim_value(sim, weighted)).filter(F.col(sim_col) >= threshold)
+    if canonicalize:
+        out = j.select(F.least("rid1", "rid2").alias("id1"),
+                       F.greatest("rid1", "rid2").alias("id2"), sim_col)
     else:
-        value = S.SET_SIMS[sim](t1, t2)
-    return (
-        j.withColumn(sim_col, value)
-        .filter(F.col(sim_col) >= threshold)
-        .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), sim_col)
-    )
+        out = j.select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), sim_col)
+    return out.dropDuplicates(["id1", "id2"])
 
 
 def set_similarity_self_join(
@@ -204,10 +216,17 @@ def set_similarity_self_join(
         raise ValueError("threshold must be in (0, 1]")
     if dictionary is None:
         dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
-    # persist: the encoded table feeds both candidate generation and verification
-    enc = _prepare(df, id_col, tokens_col, dictionary, weighted, broadcast_dict).persist()
-    cand = _candidates(enc, None, sim, threshold, max_token_freq, dictionary)
-    return _verify(cand, enc, None, sim, threshold, weighted, sim_col)
+    enc = _prepare(df, id_col, tokens_col, dictionary, weighted, broadcast_dict)
+    e = _entries(enc, "1", sim, threshold, weighted, max_token_freq, dictionary)
+    a = e.filter(F.col("pos1") < F.col("short1"))
+    b_renames = {"sid1": "sid2", "rid1": "rid2", "t1": "t2", "len1": "len2",
+                 "short1": "short2", "pos1": "pos2", "w1": "w2"}
+    b = e.drop("idf_map").withColumnsRenamed(b_renames)
+    joined = a.join(b.hint("shuffle_hash"), "tok").filter(
+        (F.col("len1") < F.col("len2"))
+        | ((F.col("len1") == F.col("len2")) & (F.col("sid1") < F.col("sid2")))
+    )
+    return _fused_verify(joined, sim, threshold, weighted, sim_col, canonicalize=True)
 
 
 def set_similarity_rs_join(
@@ -223,7 +242,10 @@ def set_similarity_rs_join(
     max_token_freq: int | None = None,
     sim_col: str = "sim",
 ) -> DataFrame:
-    """All (r, s) pairs with sim >= threshold; dictionary/IDF over R ∪ S."""
+    """All (r, s) pairs with sim >= threshold; dictionary/IDF over R ∪ S.
+
+    Two asymmetric index-vs-probe joins cover both length orderings (ties
+    treat the R side as smaller)."""
     if dictionary is None:
         union = df_r.select(F.col(tokens_col).alias("tokens")).unionAll(
             df_s.select(F.col(tokens_col).alias("tokens"))
@@ -231,5 +253,13 @@ def set_similarity_rs_join(
         dictionary = build_dictionary(union)
     left = _prepare(df_r, id_col, tokens_col, dictionary, weighted, broadcast_dict)
     right = _prepare(df_s, id_col, tokens_col, dictionary, weighted, broadcast_dict)
-    cand = _candidates(left, right, sim, threshold, max_token_freq, dictionary)
-    return _verify(cand, left, right, sim, threshold, weighted, sim_col)
+    # idf_map rides the side-1 entries; both branches join against them
+    l = _entries(left, "1", sim, threshold, weighted, max_token_freq, dictionary)
+    r = _entries(right, "2", sim, threshold, weighted, max_token_freq, dictionary)
+    a1 = l.filter(F.col("pos1") < F.col("short1"))
+    c1 = a1.join(r.hint("shuffle_hash"), "tok").filter(F.col("len1") <= F.col("len2"))
+    a2 = r.filter(F.col("pos2") < F.col("short2"))
+    c2 = a2.join(l.hint("shuffle_hash"), "tok").filter(F.col("len2") < F.col("len1"))
+    v1 = _fused_verify(c1, sim, threshold, weighted, sim_col, canonicalize=False)
+    v2 = _fused_verify(c2, sim, threshold, weighted, sim_col, canonicalize=False)
+    return v1.unionByName(v2).dropDuplicates(["id1", "id2"])

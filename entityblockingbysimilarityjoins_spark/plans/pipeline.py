@@ -48,12 +48,17 @@ ATTRS = ["title", "body", "lang"]
 @dataclass
 class PipelineConfig:
     id_col: str = "url"
-    sample_threshold: float = 0.4
+    sample_threshold: float = 0.35
     n_random_negatives: int = 2000
-    n_trees: int = 10
-    max_depth: int = 8
+    n_trees: int = 12
+    max_depth: int = 10
     match_threshold: float = 0.5
     seed: int = 0
+    # V7/V8: interchangeable-value second round (re-match negatives with
+    # IC-normalized attributes, expand clusters with IC groups)
+    use_value_matcher: bool = False
+    ic_attrs: tuple[str, ...] = ("title",)
+    ic_tau: float = 0.85
     fallback_rules: list[Rule] = field(default_factory=lambda: [
         Rule("title", "jac", "dlm", None, 0.6),
     ])
@@ -144,13 +149,34 @@ def run_pipeline(
 
     matches = predicted.filter(F.col("match")).select("id1", "id2")
 
+    # E3b (optional): interchangeable values — group values over matched
+    # pairs, re-score the negatives on the normalized table (V1-V3, V7)
+    groups_per_attr: dict[str, DataFrame] = {}
+    if cfg.use_value_matcher:
+        from ..value_matcher.interchangeable import (
+            group_values,
+            rematch_negatives,
+            value_pairs_from_matches,
+        )
+
+        for attr in cfg.ic_attrs:
+            vp = value_pairs_from_matches(matches, records, idc, attr)
+            groups_per_attr[attr] = group_values(vp, tau=cfg.ic_tau).persist()
+        matches = stages.run("match_res_ic", lambda: rematch_negatives(
+            predicted, records, idc, features, model, groups_per_attr,
+            threshold=cfg.match_threshold,
+        ))
+
     # E4: transitive clustering
     clusters = stages.run("clusters", lambda: cluster_pairs(matches))
 
     n_rows = records.count()
+    final_predicted = (
+        matches.withColumn("match", F.lit(True)) if cfg.use_value_matcher else predicted
+    )
     metrics = {
         "blocking": blocking_metrics(candidates, gold, n_rows),
-        "matching": matcher_metrics(predicted, gold),
+        "matching": matcher_metrics(final_predicted, gold),
         "n_rules": len(rules),
         "uncovered_paths": uncovered,
         "n_clusters": clusters.select("component").distinct().count(),
@@ -164,6 +190,7 @@ def run_pipeline(
         "predicted": predicted,
         "matches": matches,
         "clusters": clusters,
+        "ic_groups": groups_per_attr,
         "metrics": metrics,
     }
 

@@ -37,7 +37,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv6Addresses=false")
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseParallelGC -Djava.net.preferIPv6Addresses=false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

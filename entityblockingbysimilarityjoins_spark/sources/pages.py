@@ -59,8 +59,8 @@ def _title(rng: random.Random, eid: int) -> list[str]:
         rng.choice(_ADJ),
         rng.choice(_ADJ),
         rng.choice(_NOUN),
-        f"model{eid % 9973}",
-        f"v{rng.randint(1, 99)}",
+        f"model{eid % 99991}",
+        f"v{rng.randint(1, 9999)}",
     ]
 
 
@@ -91,7 +91,10 @@ def _variant_rows(seed: int, eid: int) -> list[dict]:
         if vid > 0 and rng.random() < 0.5:
             vb[rng.randrange(len(vb))] = rng.choice(_BODY)  # body churn
         sep = "  " if (vid > 0 and rng.random() < 0.3) else " "   # ws churn
-        text = sep.join(vt) + "\n" + " ".join(vb)
+        # entity-specific body tokens keep inter-entity body Jaccard low
+        # (FIXTURES duplicate model: inter-entity < 0.5)
+        uniq = f"sku{(eid * 7919) % 999983} lot{(eid * 104729) % 999983}"
+        text = sep.join(vt) + "\n" + " ".join(vb) + " " + uniq
         if vid > 0 and rng.random() < 0.3:
             text = text + "\n" + rng.choice(_BOILER)        # boilerplate wrap
         url = f"https://site{eid % 97}.example/p/{eid}-{vid}"

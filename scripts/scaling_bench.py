@@ -1,0 +1,132 @@
+"""Scaling-efficiency benchmark (BASELINE.json north_rule evidence).
+
+Runs the SAME end-to-end EM job on the SAME deterministic input at a given
+parallelism (local[N]) and prints one JSON line. Sandbox proxy for N vs 4N
+executors (driver instruction): run with CPUS=4 and CPUS=16 (or 8/32),
+efficiency = (T_N / T_4N) / 4.
+
+Job = the pipeline core at bench scale over generated pages:
+  1. blocking: dlm-token Jaccard self-join on titles,
+  2. scoring: feature extraction (17 native sim columns) + numpy-RF predict
+     (Arrow pandas UDF) over every blocked pair,
+  3. near-dup: MinHash-LSH + exact-verify over page text,
+  4. clustering: large-star/small-star connected components over matches.
+Corpus generation and model training are excluded from the timing (setup).
+
+Usage: SPARK_GRAFT_CPUS=4 python scripts/scaling_bench.py [n_entities]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from entityblockingbysimilarityjoins_spark.functions.tokenize import (
+    tokens_dlm,
+    tokens_wspace,
+)
+from entityblockingbysimilarityjoins_spark.matcher.features import (
+    extract_features,
+    generate_features,
+)
+from entityblockingbysimilarityjoins_spark.matcher.random_forest import (
+    RandomForestMatcher,
+    apply_matcher,
+)
+from entityblockingbysimilarityjoins_spark.operators.connected_components import (
+    connected_components,
+)
+from entityblockingbysimilarityjoins_spark.operators.dedup import minhash_lsh_pairs
+from entityblockingbysimilarityjoins_spark.operators.set_join import (
+    set_similarity_self_join,
+)
+from entityblockingbysimilarityjoins_spark.plans.pipeline import derive_attrs
+from entityblockingbysimilarityjoins_spark.session import get_spark
+from entityblockingbysimilarityjoins_spark.sources.pages import (
+    generate_gold,
+    generate_pages,
+)
+
+ATTR_TYPES = {"title": "str_bt_5w_10w", "body": "str_bt_5w_10w", "lang": "str_eq_1w"}
+
+
+def main() -> None:
+    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- setup (untimed): corpus + a trained matcher ----
+    pages = generate_pages(spark, n_entities, seed=42).persist()
+    n_pages = pages.count()
+    records = derive_attrs(pages).persist()
+    records.count()
+    features = generate_features(ATTR_TYPES)
+    feat_names = [f.name for f in features]
+    gold_small = generate_gold(spark, 2000, seed=42)
+    small_pages = derive_attrs(generate_pages(spark, 2000, seed=42))
+    toks_small = small_pages.select("url", tokens_dlm(F.col("title")).alias("tokens"))
+    sample = set_similarity_self_join(toks_small, "url", "tokens", "jac", 0.5) \
+        .select("id1", "id2")
+    labeled = sample.join(
+        gold_small.select(F.col("url1").alias("id1"), F.col("url2").alias("id2"))
+        .withColumn("label", F.lit(1)), ["id1", "id2"], "left").fillna({"label": 0})
+    train_pdf = extract_features(labeled.select("id1", "id2"), small_pages, "url", features) \
+        .join(labeled, ["id1", "id2"]).toPandas()
+    model = RandomForestMatcher(n_trees=10, max_depth=8, random_state=0,
+                                feature_names=feat_names).fit(
+        train_pdf[feat_names].to_numpy(), train_pdf["label"].to_numpy())
+
+    # ---- timed job ----
+    t0 = time.time()
+    toks = records.select("url", tokens_dlm(F.col("title")).alias("tokens"))
+    pairs = set_similarity_self_join(toks, "url", "tokens", "jac", 0.8) \
+        .select("id1", "id2").persist()
+    n_pairs = pairs.count()
+    t_block = time.time() - t0
+
+    t0 = time.time()
+    feats = extract_features(pairs, records, "url", features)
+    predicted = apply_matcher(feats, model).persist()
+    n_match = predicted.filter(F.col("match")).count()
+    t_score = time.time() - t0
+
+    t0 = time.time()
+    wtoks = records.select("url", tokens_wspace(F.col("text")).alias("tokens"))
+    n_mh = minhash_lsh_pairs(wtoks, "url", "tokens", threshold=0.9).count()
+    t_minhash = time.time() - t0
+
+    t0 = time.time()
+    matches = predicted.filter(F.col("match")).select("id1", "id2")
+    n_comp = connected_components(matches).select("component").distinct().count()
+    t_cc = time.time() - t0
+
+    total = t_block + t_score + t_minhash + t_cc
+    print(json.dumps({
+        "cpus": cpus,
+        "n_entities": n_entities,
+        "n_pages": n_pages,
+        "blocking_pairs": n_pairs,
+        "matches": n_match,
+        "minhash_pairs": n_mh,
+        "components": n_comp,
+        "t_block": round(t_block, 2),
+        "t_score": round(t_score, 2),
+        "t_minhash": round(t_minhash, 2),
+        "t_cc": round(t_cc, 2),
+        "t_total": round(total, 2),
+        "pairs_per_sec_blocking": round(n_pairs / t_block, 1),
+        "pairs_per_sec_scoring": round(n_pairs / t_score, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

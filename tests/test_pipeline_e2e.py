@@ -78,3 +78,12 @@ def test_checkpoint_resume_reproduces(spark, corpus, tmp_path_factory):
     r2 = run_pipeline(spark, pages, gold, cfg)
     m2 = {(r["id1"], r["id2"]) for r in r2["matches"].collect()}
     assert m1 == m2
+
+
+def test_pipeline_with_value_matcher(spark, corpus):
+    pages, gold = corpus
+    cfg = PipelineConfig(n_random_negatives=800, use_value_matcher=True)
+    res = run_pipeline(spark, pages, gold, cfg)
+    # second round may only ADD matches; F1 target still holds
+    assert res["metrics"]["matching"]["f1"] >= 0.99
+    assert "title" in res["ic_groups"]
