@@ -213,6 +213,28 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_jac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return set_similarity_self_join(
+        _doc_tokens(spark, sf_dir), "rid", "tokens", "jac", 0.75, weighted=True
+    ).withColumn("sim", F.round("sim", 6))
+
+
+def _q_down_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entityblockingbysimilarityjoins_spark.operators.sampler import down_sample
+
+    toks = _doc_tokens(spark, sf_dir)
+    return down_sample(toks, toks, "rid", "tokens", n_probe=50, y=10, seed=7)
+
+
+def _q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entityblockingbysimilarityjoins_spark.operators.sampler import (
+        cluster_sample_self,
+    )
+
+    return cluster_sample_self(_doc_tokens(spark, sf_dir), "rid", "tokens",
+                               tau=0.85, max_pairs=5000, seed=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rule-union blocker over sf0.001 pages-like documents."""
     return _q_block(spark, "/root/testdata/sf0.001")
@@ -238,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann,
         "ann_lsh_topk": _q_ann_lsh,            # rows-only (approximate)
         "text_stats": _q_text_stats,
+        "weighted_jaccard_join": _q_weighted_jac,
+        "down_sample": _q_down_sample,         # rows-only (Spark hash sampling)
+        "cluster_sample": _q_cluster_sample,   # rows-only (Spark hash sampling)
     }
 
 
@@ -390,4 +415,16 @@ SELECT doc_id,
            + 0.2 * least(length(text)::DOUBLE / 200.0, 1.0), 6) AS quality,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
 FROM h""",
+        "weighted_jaccard_join": f"""{_TOK_CTE},
+ex AS (SELECT doc_id, unnest(tokens) AS token FROM tk),
+idf AS (SELECT token, log10((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS w
+        FROM ex GROUP BY token),
+rw AS (SELECT doc_id, sum(w) AS wt FROM ex JOIN idf USING (token) GROUP BY doc_id),
+wo AS (SELECT a.doc_id AS id1, b.doc_id AS id2, sum(i.w) AS wov
+       FROM ex a JOIN ex b ON a.token = b.token AND a.doc_id < b.doc_id
+       JOIN idf i ON i.token = a.token
+       GROUP BY 1, 2)
+SELECT id1, id2, round(wov / (r1.wt + r2.wt - wov), 6) AS sim
+FROM wo JOIN rw r1 ON r1.doc_id = id1 JOIN rw r2 ON r2.doc_id = id2
+WHERE wov / (r1.wt + r2.wt - wov) >= 0.75""",
     }

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.dictionary import build_dictionary, encode_tokens
@@ -87,6 +87,18 @@ def _min_overlap(sim: str, t: float, l1: Column, l2: Column) -> Column:
     return F.ceil(v - F.lit(_EPS))
 
 
+def _min_weighted_overlap(sim: str, t: float, w1: Column, w2: Column) -> Column:
+    """alpha_w(w1,w2): minimum IDF-weighted overlap required for sim >= t.
+    Same algebra as _min_overlap with weights in place of counts
+    (setjoin.h:250-258 weighted formulas)."""
+    s = w1 + w2
+    if sim == "jac":
+        return F.lit(t / (1.0 + t)) * s
+    if sim == "cos":
+        return F.lit(t) * F.sqrt(w1 * w2)
+    return F.lit(t / 2.0) * s
+
+
 def _prepare(
     df: DataFrame,
     id_col: str,
@@ -129,25 +141,59 @@ def _entries(
     weighted: bool,
     max_token_freq: int | None,
     dictionary: DataFrame,
+    broadcast_dict: bool = True,
 ) -> DataFrame:
-    """Exploded probe-prefix rows with payload for inline verification."""
+    """Exploded probe-prefix rows with payload for inline verification.
+
+    Unweighted: prefix membership is positional (count bounds). Weighted:
+    count bounds are UNSOUND (one high-IDF shared token can satisfy the
+    weighted threshold alone), so prefixes are **weight-based**: an entry at
+    position p with suffix weight S(p) = sum of idf from p onward stays in
+    the probe prefix iff S(p) >= f(t)*wt, and in the indexing prefix iff
+    S(p) >= f_short(t)*wt — any qualifying pair's rarest shared token
+    satisfies both on the respective sides. ``suffix{side}`` carries S(p)
+    for the weighted positional filter."""
     f = _prefix_factor(sim, threshold)
     fs = _short_prefix_factor(sim, threshold)
-    plen = (F.col("len") - F.ceil(F.lit(f) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
-    slen = (F.col("len") - F.ceil(F.lit(fs) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
-    cols = [
-        F.col("sid").alias(f"sid{side}"),
-        F.col("rid").alias(f"rid{side}"),
-        F.col("tids").alias(f"t{side}"),
-        F.col("len").alias(f"len{side}"),
-        slen.alias(f"short{side}"),
-        F.posexplode(F.slice("tids", 1, plen)).alias(f"pos{side}", "tok"),
-    ]
-    if weighted:
-        cols.insert(5, F.col("wt").alias(f"w{side}"))
+    if not weighted:
+        plen = (F.col("len") - F.ceil(F.lit(f) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
+        slen = (F.col("len") - F.ceil(F.lit(fs) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
+        cols = [
+            F.col("sid").alias(f"sid{side}"),
+            F.col("rid").alias(f"rid{side}"),
+            F.col("tids").alias(f"t{side}"),
+            F.col("len").alias(f"len{side}"),
+            slen.alias(f"short{side}"),
+            F.posexplode(F.slice("tids", 1, plen)).alias(f"pos{side}", "tok"),
+        ]
+        e = enc.select(*cols).withColumn(f"short{side}",
+                                         F.col(f"pos{side}") < F.col(f"short{side}"))
+    else:
+        cols = [
+            F.col("sid").alias(f"sid{side}"),
+            F.col("rid").alias(f"rid{side}"),
+            F.col("tids").alias(f"t{side}"),
+            F.col("len").alias(f"len{side}"),
+            F.col("wt").alias(f"w{side}"),
+            F.posexplode("tids").alias(f"pos{side}", "tok"),
+        ]
         if side == "1":
-            cols.insert(6, F.col("idf_map"))
-    e = enc.select(*cols)
+            cols.append(F.col("idf_map"))
+        e = enc.select(*cols)
+        d = dictionary.select(F.col("tid").alias("tok"), "idf")
+        if broadcast_dict:
+            d = F.broadcast(d)
+        e = e.join(d, "tok")
+        # suffix weight S(p): sum of idf at positions >= p (tokens are
+        # rarest-first so S is the tail of the weight-descending order)
+        w_win = Window.partitionBy(f"sid{side}").orderBy(F.desc(f"pos{side}")) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e = e.withColumn(f"suffix{side}", F.sum("idf").over(w_win)).drop("idf")
+        e = e.filter(F.col(f"suffix{side}") >= F.lit(f) * F.col(f"w{side}") - F.lit(_EPS))
+        e = e.withColumn(
+            f"short{side}",
+            F.col(f"suffix{side}") >= F.lit(fs) * F.col(f"w{side}") - F.lit(_EPS),
+        )
     if max_token_freq is not None:
         hot = dictionary.filter(F.col("freq") > max_token_freq).select(F.col("tid").alias("tok"))
         e = e.join(F.broadcast(hot), "tok", "left_anti")
@@ -185,11 +231,19 @@ def _fused_verify(joined: DataFrame, sim: str, threshold: float, weighted: bool,
     """length + positional filters and inline similarity verification —
     all inside the join's codegen stage; no candidate materialization."""
     f = _prefix_factor(sim, threshold)
-    lo, hi = F.least("len1", "len2"), F.greatest("len1", "len2")
-    j = joined.filter(lo >= F.ceil(F.lit(f) * hi - F.lit(_EPS)))
-    ub = F.lit(1) + F.least(F.col("len1") - F.col("pos1") - 1,
-                            F.col("len2") - F.col("pos2") - 1)
-    j = j.filter(ub >= _min_overlap(sim, threshold, F.col("len1"), F.col("len2")))
+    if weighted:
+        # weighted analogues: weight ratio filter + suffix-weight positional
+        lo, hi = F.least("w1", "w2"), F.greatest("w1", "w2")
+        j = joined.filter(lo >= F.lit(f) * hi - F.lit(_EPS))
+        ub = F.least("suffix1", "suffix2")
+        j = j.filter(ub >= _min_weighted_overlap(sim, threshold, F.col("w1"), F.col("w2"))
+                     - F.lit(_EPS))
+    else:
+        lo, hi = F.least("len1", "len2"), F.greatest("len1", "len2")
+        j = joined.filter(lo >= F.ceil(F.lit(f) * hi - F.lit(_EPS)))
+        ub = F.lit(1) + F.least(F.col("len1") - F.col("pos1") - 1,
+                                F.col("len2") - F.col("pos2") - 1)
+        j = j.filter(ub >= _min_overlap(sim, threshold, F.col("len1"), F.col("len2")))
     j = j.withColumn(sim_col, _sim_value(sim, weighted)).filter(F.col(sim_col) >= threshold)
     if canonicalize:
         out = j.select(F.least("rid1", "rid2").alias("id1"),
@@ -217,14 +271,18 @@ def set_similarity_self_join(
     if dictionary is None:
         dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
     enc = _prepare(df, id_col, tokens_col, dictionary, weighted, broadcast_dict)
-    e = _entries(enc, "1", sim, threshold, weighted, max_token_freq, dictionary)
-    a = e.filter(F.col("pos1") < F.col("short1"))
+    e = _entries(enc, "1", sim, threshold, weighted, max_token_freq, dictionary,
+                 broadcast_dict)
+    a = e.filter(F.col("short1"))
     b_renames = {"sid1": "sid2", "rid1": "rid2", "t1": "t2", "len1": "len2",
-                 "short1": "short2", "pos1": "pos2", "w1": "w2"}
+                 "short1": "short2", "pos1": "pos2", "w1": "w2", "suffix1": "suffix2"}
     b = e.drop("idf_map").withColumnsRenamed(b_renames)
+    # the indexing (short) prefix applies to the pair's smaller side —
+    # smaller by token count (unweighted) / record weight (weighted)
+    m1, m2 = ("w1", "w2") if weighted else ("len1", "len2")
     joined = a.join(b.hint("shuffle_hash"), "tok").filter(
-        (F.col("len1") < F.col("len2"))
-        | ((F.col("len1") == F.col("len2")) & (F.col("sid1") < F.col("sid2")))
+        (F.col(m1) < F.col(m2))
+        | ((F.col(m1) == F.col(m2)) & (F.col("sid1") < F.col("sid2")))
     )
     return _fused_verify(joined, sim, threshold, weighted, sim_col, canonicalize=True)
 
@@ -254,12 +312,15 @@ def set_similarity_rs_join(
     left = _prepare(df_r, id_col, tokens_col, dictionary, weighted, broadcast_dict)
     right = _prepare(df_s, id_col, tokens_col, dictionary, weighted, broadcast_dict)
     # idf_map rides the side-1 entries; both branches join against them
-    l = _entries(left, "1", sim, threshold, weighted, max_token_freq, dictionary)
-    r = _entries(right, "2", sim, threshold, weighted, max_token_freq, dictionary)
-    a1 = l.filter(F.col("pos1") < F.col("short1"))
-    c1 = a1.join(r.hint("shuffle_hash"), "tok").filter(F.col("len1") <= F.col("len2"))
-    a2 = r.filter(F.col("pos2") < F.col("short2"))
-    c2 = a2.join(l.hint("shuffle_hash"), "tok").filter(F.col("len2") < F.col("len1"))
+    l = _entries(left, "1", sim, threshold, weighted, max_token_freq, dictionary,
+                 broadcast_dict)
+    r = _entries(right, "2", sim, threshold, weighted, max_token_freq, dictionary,
+                 broadcast_dict)
+    m1, m2 = ("w1", "w2") if weighted else ("len1", "len2")
+    a1 = l.filter(F.col("short1"))
+    c1 = a1.join(r.hint("shuffle_hash"), "tok").filter(F.col(m1) <= F.col(m2))
+    a2 = r.filter(F.col("short2"))
+    c2 = a2.join(l.hint("shuffle_hash"), "tok").filter(F.col(m2) < F.col(m1))
     v1 = _fused_verify(c1, sim, threshold, weighted, sim_col, canonicalize=False)
     v2 = _fused_verify(c2, sim, threshold, weighted, sim_col, canonicalize=False)
     return v1.unionByName(v2).dropDuplicates(["id1", "id2"])

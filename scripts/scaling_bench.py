@@ -84,31 +84,44 @@ def main() -> None:
                                 feature_names=feat_names).fit(
         train_pdf[feat_names].to_numpy(), train_pdf["label"].to_numpy())
 
-    # ---- timed job ----
-    t0 = time.time()
-    toks = records.select("url", tokens_dlm(F.col("title")).alias("tokens"))
-    pairs = set_similarity_self_join(toks, "url", "tokens", "jac", 0.8) \
-        .select("id1", "id2").persist()
-    n_pairs = pairs.count()
-    t_block = time.time() - t0
+    # ---- timed job, repeated: this box is noisy (4-5x run-to-run swings),
+    # so report every repetition and the min (steady-state estimate) ----
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    runs = []
+    n_pairs = n_match = n_mh = n_comp = 0
+    for rep in range(reps):
+        spark.catalog.clearCache()
+        pages.persist().count()
+        records.persist().count()
 
-    t0 = time.time()
-    feats = extract_features(pairs, records, "url", features)
-    predicted = apply_matcher(feats, model).persist()
-    n_match = predicted.filter(F.col("match")).count()
-    t_score = time.time() - t0
+        t0 = time.time()
+        toks = records.select("url", tokens_dlm(F.col("title")).alias("tokens"))
+        pairs = set_similarity_self_join(toks, "url", "tokens", "jac", 0.8) \
+            .select("id1", "id2").persist()
+        n_pairs = pairs.count()
+        t_block = time.time() - t0
 
-    t0 = time.time()
-    wtoks = records.select("url", tokens_wspace(F.col("text")).alias("tokens"))
-    n_mh = minhash_lsh_pairs(wtoks, "url", "tokens", threshold=0.9).count()
-    t_minhash = time.time() - t0
+        t0 = time.time()
+        feats = extract_features(pairs, records, "url", features)
+        predicted = apply_matcher(feats, model).persist()
+        n_match = predicted.filter(F.col("match")).count()
+        t_score = time.time() - t0
 
-    t0 = time.time()
-    matches = predicted.filter(F.col("match")).select("id1", "id2")
-    n_comp = connected_components(matches).select("component").distinct().count()
-    t_cc = time.time() - t0
+        t0 = time.time()
+        wtoks = records.select("url", tokens_wspace(F.col("text")).alias("tokens"))
+        n_mh = minhash_lsh_pairs(wtoks, "url", "tokens", threshold=0.9).count()
+        t_minhash = time.time() - t0
 
-    total = t_block + t_score + t_minhash + t_cc
+        t0 = time.time()
+        matches = predicted.filter(F.col("match")).select("id1", "id2")
+        n_comp = connected_components(matches).select("component").distinct().count()
+        t_cc = time.time() - t0
+
+        runs.append({"t_block": round(t_block, 2), "t_score": round(t_score, 2),
+                     "t_minhash": round(t_minhash, 2), "t_cc": round(t_cc, 2),
+                     "t_total": round(t_block + t_score + t_minhash + t_cc, 2)})
+
+    best = min(r["t_total"] for r in runs)
     print(json.dumps({
         "cpus": cpus,
         "n_entities": n_entities,
@@ -117,13 +130,9 @@ def main() -> None:
         "matches": n_match,
         "minhash_pairs": n_mh,
         "components": n_comp,
-        "t_block": round(t_block, 2),
-        "t_score": round(t_score, 2),
-        "t_minhash": round(t_minhash, 2),
-        "t_cc": round(t_cc, 2),
-        "t_total": round(total, 2),
-        "pairs_per_sec_blocking": round(n_pairs / t_block, 1),
-        "pairs_per_sec_scoring": round(n_pairs / t_score, 1),
+        "runs": runs,
+        "t_total_min": best,
+        "pairs_per_sec_blocking_best": round(n_pairs / min(r["t_block"] for r in runs), 1),
     }))
     spark.stop()
 

@@ -141,3 +141,33 @@ def test_exact_duplicates_join_at_threshold_1(spark):
     got = {(r["id1"], r["id2"]) for r in
            set_similarity_self_join(df, "rid", "tokens", "jac", 1.0).collect()}
     assert got == {(0, 1)}
+
+
+def test_weighted_jaccard_skewed_idf(spark):
+    # one ultra-rare (high-IDF) shared token between otherwise-different sets:
+    # count-based prefix/length filters would wrongly prune this pair
+    rows = [(0, "rareXYZ alpha beta gamma delta eps"),
+            (1, "rareXYZ zeta eta theta iota kappa"),
+            *[(i, "alpha beta gamma delta eps zeta eta theta iota kappa mu nu")
+              for i in range(2, 40)]]
+    s = _sets(rows)
+    n = len(rows)
+    freq: dict[str, int] = {}
+    for toks in s.values():
+        for tk in toks:
+            freq[tk] = freq.get(tk, 0) + 1
+    idf = {tk: math.log10(n / f) for tk, f in freq.items()}
+
+    def wjac(a, b):
+        if not a or not b:
+            return 0.0
+        wo = sum(idf[t] for t in a & b)
+        return wo / (sum(idf[t] for t in a) + sum(idf[t] for t in b) - wo)
+
+    for t in (0.3, 0.5, 0.7):
+        want = {(i, j) for i, j in itertools.combinations(sorted(s), 2)
+                if wjac(s[i], s[j]) >= t}
+        df = spark.createDataFrame(rows, ["rid", "s"]).withColumn("tokens", tokens_dlm("s"))
+        got = {(r["id1"], r["id2"]) for r in
+               set_similarity_self_join(df, "rid", "tokens", "jac", t, weighted=True).collect()}
+        assert got == want, f"threshold {t}"
