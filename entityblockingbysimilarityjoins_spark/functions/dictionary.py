@@ -12,14 +12,13 @@ ties arbitrarily; we define the total order ``(count ASC, token ASC)`` so
 blocking keys are reproducible across runs and cluster sizes.
 
 Scale notes:
-- the dictionary build is one groupBy(token).count() shuffle + a global
-  row_number. The row_number needs a total order over the vocabulary; we
-  compute it distributed via a two-pass rank (per-partition count + offset)
-  free of single-partition windows... in practice Spark's window without
-  partitionBy would serialize; instead we sort and zipWithIndex via
-  ``row_number`` over a range-partitioned sort, which Spark executes as a
-  global sort (parallel) + windowed numbering per partition with offsets —
-  here we use the simple monotonically-increasing trick below.
+- the dictionary build is one groupBy(token).count() shuffle + a distributed
+  two-pass rank: range-partition + sort on (freq, token), then per-partition
+  row_number offset by the cumulative sizes of the preceding partitions. The
+  only global structure is the P-row partition-size table (P = number of
+  range partitions), never the vocabulary itself — no single-task window.
+  The rank is a pure function of the unique total order (freq, token), so
+  tids are identical regardless of where the range boundaries land.
 - encoding joins the (exploded) corpus with the dictionary: broadcast when it
   fits (``broadcast_threshold``), shuffle hash join otherwise (100 TB corpora
   have vocabularies far beyond broadcast).
@@ -44,16 +43,31 @@ def build_dictionary(df: DataFrame, tokens_col: str = "tokens", n_records: int |
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    # Global total-order numbering. A window without partitionBy funnels
-    # through one task; for the vocab sizes we target this is the correct
-    # simple choice *locally*, and at true web scale the build would swap in
-    # sort + zipWithIndex. Vocab is tiny relative to the corpus either way.
-    w = Window.orderBy(F.asc("freq"), F.asc("token"))
-    return freqs.select(
-        "token",
-        (F.row_number().over(w) - 1).alias("tid"),
-        "freq",
-        F.log10(F.lit(float(n_records)) / F.col("freq")).alias("idf"),
+    # Distributed two-pass rank (no global window): range-sort the vocab,
+    # number rows inside each sorted partition, shift by the cumulative size
+    # of the preceding partitions. Only the P-row size table is windowed
+    # globally; it is broadcast back onto the vocab.
+    sc = df.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, 1)
+    parts = (
+        freqs.repartitionByRange(n_parts, F.asc("freq"), F.asc("token"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = parts.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__pid").orderBy(F.asc("freq"), F.asc("token"))
+    return (
+        parts.join(F.broadcast(offsets), "__pid")
+        .select(
+            "token",
+            (F.row_number().over(w_in) - 1 + F.col("__off")).cast("int").alias("tid"),
+            "freq",
+            F.log10(F.lit(float(n_records)) / F.col("freq")).alias("idf"),
+        )
     )
 
 

@@ -63,6 +63,21 @@ def connected_components(
     ``component`` is the minimum node id of the component. Deterministic,
     independent of partitioning. Node ids must be orderable (int or string).
     """
+    def _stats(e: DataFrame) -> tuple:
+        # one job per iteration: (|E|, two independent bit_xor fingerprints).
+        # Edges are a distinct set, so xor-of-hashes is a sound set
+        # fingerprint (multiplicity is always 1); xor never overflows under
+        # ANSI mode. Equality of all three across rounds implies the edge
+        # sets are equal up to a ~2^-128 collision; a cheap anti-join
+        # confirms once at the end (the fixed point is stable, so a false
+        # positive could only terminate early, never corrupt a label).
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x1"),
+            F.expr("bit_xor(xxhash64(v, u, 7))").alias("x2"),
+        ).first()
+        return (row["n"], row["x1"], row["x2"])
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -70,15 +85,15 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    prev_stats = _stats(edges)
     for it in range(max_iterations):
         edges2 = _small_star(_large_star(edges)).localCheckpoint()
-        # converged iff the edge sets are identical (both are distinct sets)
-        n2 = edges2.count()
-        if n2 == edges.count() and edges2.join(edges, ["u", "v"], "left_anti").isEmpty():
+        stats = _stats(edges2)
+        if stats == prev_stats and edges2.join(edges, ["u", "v"], "left_anti").isEmpty():
             edges = edges2
             log.info("connected_components converged after %d iterations", it + 1)
             break
-        edges = edges2
+        edges, prev_stats = edges2, stats
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
 

@@ -75,7 +75,10 @@ def parse_feature_name(name: str) -> tuple[str, str, str | None, str | None]:
                     tok = rest[0]
                     if len(rest) > 1 and rest[1].isdigit():
                         settings = rest[1]
-                    elif tok == "dlm" and len(rest) > 1:
+                    elif tok == "dlm" and len(rest) > 1 and rest[1] not in (tok, "None", "none"):
+                        # `<tok>_<tok>` (settings omitted) and a literal
+                        # 'None' both mean settings=None — keep round-trips
+                        # with write_rules loss-free
                         settings = rest[1]
                 return attr, _SIM_ALIASES[key], tok, settings
     raise ValueError(f"cannot parse feature name {name!r}")
@@ -101,11 +104,12 @@ def read_rules(path: str) -> list[Rule]:
 def write_rules(rules: list[Rule], path: str) -> None:
     def feature_name(r: Rule) -> str:
         sim_spelling = {"lev": "lev_dist", "exm": "exact_match", "anm": "abs_norm"}.get(r.sim, r.sim)
-        tok_part = (
-            f"_{r.tok}_{r.tok_settings}_{r.tok}_{r.tok_settings}"
-            if r.tok
-            else f"_{sim_spelling}"
-        )
+        if r.tok and r.tok_settings is not None:
+            tok_part = f"_{r.tok}_{r.tok_settings}_{r.tok}_{r.tok_settings}"
+        elif r.tok:
+            tok_part = f"_{r.tok}_{r.tok}"
+        else:
+            tok_part = f"_{sim_spelling}"
         return f"{r.attr}_{r.attr}_{sim_spelling}{tok_part}"
 
     with open(path, "w") as f:

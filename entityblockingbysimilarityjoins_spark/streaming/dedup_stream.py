@@ -3,8 +3,10 @@
 The reference is batch-only (SURVEY §2.11); this module adds the streaming
 shape a continuously-crawled corpus needs: incremental exact/near-canonical
 dedup of arriving pages by content fingerprint, with a watermark bounding
-state. ``dropDuplicates`` keyed on the md5 fingerprint inside the watermark
-window is the built-in stateful operator — no custom state management.
+state. ``dropDuplicatesWithinWatermark`` keyed on the md5 fingerprint is the
+built-in stateful operator — fingerprints older than the watermark horizon
+are purged from state (plain ``dropDuplicates`` on a non-event-time key would
+grow state unboundedly).
 """
 
 from __future__ import annotations
@@ -22,11 +24,13 @@ def dedup_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming DF -> streaming DF keeping the first page per content
-    fingerprint within the watermark horizon."""
+    fingerprint within the watermark horizon. State for a fingerprint is
+    dropped once the watermark passes its event time, so the store is bounded
+    by the ingest rate x horizon, not the corpus size."""
     return (
         pages_stream.withColumn("__fp", fingerprint(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["__fp"])
+        .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
 
