@@ -254,7 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_cc,
         "exact_dedup_groups": _q_exact_dedup,
         "minhash_dedup": _q_minhash,
-        "simhash_dedup": _q_simhash,           # rows-only (bit-level, not SQL)
+        "simhash_dedup": _q_simhash,
         "ngram_dedup": _q_ngram_dedup,
         "embedding_neardup": _q_emb_neardup,
         "ann_topk": _q_ann,
@@ -354,6 +354,24 @@ SELECT node, min(comp) AS component FROM (
 ) GROUP BY node""",
         "exact_dedup_groups": """
 SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY text) AS group_id FROM documents""",
+        # 60-bit md5-derived simhash recomputed bit-for-bit in SQL (same hash,
+        # same strict-majority tie rule as operators.dedup.simhash_signature);
+        # the oracle brute-forces all pairs — the Spark side must agree while
+        # using the pigeonhole block join.
+        "simhash_dedup": """
+WITH tk AS (SELECT doc_id,
+    list_sort(list_distinct(list_filter(string_split_regex(text, ' +'),
+    x -> x <> ''))) AS tokens FROM documents),
+ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(tokens)), 1, 15))::BIGINT AS h
+       FROM tk WHERE len(tokens) > 0),
+bits AS (SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         FROM ex CROSS JOIN (SELECT unnest(range(60)) AS b) b GROUP BY 1, 2),
+sig AS (SELECT doc_id, sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS s
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.s, b.s))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3""",
         "minhash_dedup": f"""{_WS_CTE}
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        {_OVLP}::DOUBLE / (len(a.tokens) + len(b.tokens) - {_OVLP}) AS jac

@@ -5,16 +5,21 @@ the dedup primitives a 100 TB corpus pipeline needs, each Spark-native:
 
 - ``exact_duplicate_groups``: sha2 hash -> groupBy; the group id is the min
   record id (deterministic representative).
-- ``minhash_lsh_pairs``: shingle -> xxhash64 (JVM) -> minhash signatures
-  (vectorized numpy over Arrow batches) -> banded bucket join -> exact
-  Jaccard verification with array_intersect. With b bands of r rows the
-  candidate recall at Jaccard s is 1-(1-s^r)^b; defaults (b=32, r=8) give
-  per-pair miss probability <2e-8 at s>=0.9 while colliding far fewer
-  mid-similarity pairs than shallow bands — verification then makes the
-  *output* exact w.h.p.
-- ``simhash_pairs``: 64-bit simhash from token hashes (numpy), hamming <= k
-  via the pigeonhole block join (k+1 blocks of the signature as join keys),
-  verified natively with bit_count(s1 ^ s2).
+- ``minhash_lsh_pairs``: shingle -> xxhash64 (JVM) -> minhash signatures via
+  native array higher-order functions (min over (a*h+b) mod p per
+  permutation, p = 2^31-1 so the modular arithmetic stays inside ANSI bigint
+  bounds) -> banded bucket join -> exact Jaccard verification with
+  array_intersect. No Python anywhere — the whole signature is one
+  whole-stage-codegen expression. With b bands of r rows the candidate
+  recall at Jaccard s is 1-(1-s^r)^b; defaults (b=32, r=8) give per-pair
+  miss probability <2e-8 at s>=0.9 while colliding far fewer mid-similarity
+  pairs than shallow bands — verification then makes the *output* exact w.h.p.
+- ``simhash_pairs``: 60-bit simhash over md5-derived token hashes, computed
+  entirely with SQL higher-order functions (aggregate + zip_with) so the
+  signature is engine-portable (DuckDB reproduces it bit-for-bit for the
+  correctness oracle); hamming <= k via the pigeonhole block join (k+1
+  blocks of the signature as join keys), verified natively with
+  bit_count(s1 ^ s2).
 - ``ngram_jaccard_pairs``: q-gram/word-shingle Jaccard via the exact
   prefix-filter set join (operators.set_join).
 - ``embedding_neardup_pairs``: cosine >= t over an embedding column;
@@ -28,12 +33,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.tokenize import tokens_qgram, tokens_wspace
 from .set_join import set_similarity_self_join
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE31 = (1 << 31) - 1  # minhash modulus: keeps a*h+b < 2^62 (ANSI-safe)
+_SIMHASH_BITS = 60  # 15 hex chars of md5 — fits a positive BIGINT in any engine
 
 
 # ---------------------------------------------------------------------------
@@ -62,32 +67,32 @@ def dedup_exact(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.int64)
     return a, b
 
 
 def minhash_signature(tokens_hashed: Column, num_perm: int = 128, seed: int = 1) -> Column:
-    """array<long> minhash signature from an array<long> of token hashes."""
-    from pyspark.sql.functions import pandas_udf
+    """array<long> minhash signature from an array<long> of token hashes.
 
+    Pure Column expression (nested ``transform`` + ``array_min``): sig[i] =
+    min over tokens of (a_i * (h mod p) + b_i) mod p with p = 2^31-1, so the
+    whole signature evaluates inside whole-stage codegen — no Python, no
+    Arrow transfer. Empty token arrays map to the sentinel p per slot."""
     a, b = _minhash_params(num_perm, seed)
-
-    @pandas_udf(ArrayType(LongType()))
-    def _sig(hashes: pd.Series) -> pd.Series:
-        out = []
-        empty = np.full(num_perm, _MERSENNE, dtype=np.int64)
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append(empty)
-                continue
-            x = np.asarray(hs, dtype=np.uint64).astype(np.int64)[:, None]
-            # (a*x + b) mod p, in object-free int64 via python ints avoided:
-            vals = (x * a + b) % _MERSENNE
-            out.append(vals.min(axis=0))
-        return pd.Series(out)
-
-    return _sig(tokens_hashed)
+    A = F.lit([int(x) for x in a])
+    B = F.lit([int(x) for x in b])
+    p = F.lit(_MERSENNE31)
+    hmod = F.transform(tokens_hashed, lambda h: F.pmod(h, p))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(hmod, lambda h: F.pmod(F.get(A, i) * h + F.get(B, i), p))
+            ),
+            F.lit(_MERSENNE31),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -147,28 +152,42 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signature(tokens_hashed: Column) -> Column:
-    """64-bit simhash (long) from an array<long> of token hashes."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType as _L
+def md5_token_hash(token: Column) -> Column:
+    """Engine-portable 60-bit token hash: first 15 hex chars of md5.
 
-    @pandas_udf(_L())
-    def _sim(hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append(0)
-                continue
-            x = np.asarray(hs, dtype=np.uint64)
-            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            v = np.where(bits.sum(axis=0) * 2 >= len(x), 1, 0).astype(np.uint64)
-            sig = np.uint64(0)
-            for i in range(64):
-                sig |= v[i] << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+    Identical in Spark (``conv(substr(md5(t),1,15),16,10)``) and DuckDB
+    (``('0x' || substr(md5(t),1,15))::BIGINT``) — the basis of the simhash
+    correctness oracle."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
 
-    return _sim(tokens_hashed)
+
+def simhash_signature(tokens_hashed: Column, n_bits: int = _SIMHASH_BITS) -> Column:
+    """n-bit simhash (long) from an array<long> of token hashes.
+
+    Pure SQL higher-order functions — ``aggregate`` accumulates a per-bit
+    +1/-1 counter array in one pass over the tokens, then folds the sign
+    vector into a single long. Runs inside whole-stage codegen; bit b is 1
+    iff strictly more token hashes have bit b set than unset (deterministic
+    tie rule shared with the DuckDB oracle)."""
+    counts = F.aggregate(
+        tokens_hashed,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.array(
+            *[
+                F.get(acc, i)
+                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+                for i in range(n_bits)
+            ]
+        ),
+    )
+    # fold the sign vector into one long; `counts` is referenced exactly once
+    # (zip_with) so the aggregate above is evaluated a single time per row
+    weights = F.lit([1 << i for i in range(n_bits)]).cast("array<long>")
+    return F.aggregate(
+        F.zip_with(counts, weights, lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
 
 
 def simhash_pairs(
@@ -180,11 +199,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs (id1 < id2) with simhash hamming distance <= k (exact via pigeonhole)."""
     blocks = hamming_k + 1
-    width = 64 // blocks
+    width = _SIMHASH_BITS // blocks
     base = (
         df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
         .filter(F.size("toks") > 0)
-        .withColumn("__h", F.transform("toks", lambda t: F.xxhash64(t)))
+        .withColumn("__h", F.transform("toks", md5_token_hash))
         .withColumn("__sig", simhash_signature(F.col("__h")))
         .persist()
     )

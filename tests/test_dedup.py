@@ -88,8 +88,9 @@ def test_simhash_exact_contract(spark):
     # exhaustively verify against per-pair signature hamming (pigeonhole exactness)
     rows = _near_dup_corpus(17, 40, empty_and_dupes=False)
     df = spark.createDataFrame(rows, ["rid", "s"]).withColumn("tokens", tokens_wspace("s"))
-    from entityblockingbysimilarityjoins_spark.operators.dedup import simhash_signature
-    base = df.withColumn("__h", F.transform("tokens", lambda t: F.xxhash64(t))) \
+    from entityblockingbysimilarityjoins_spark.operators.dedup import (
+        md5_token_hash, simhash_signature)
+    base = df.withColumn("__h", F.transform("tokens", md5_token_hash)) \
              .withColumn("sig", simhash_signature(F.col("__h")))
     sigs = {r["rid"]: r["sig"] for r in base.collect()}
     k = 3
