@@ -132,7 +132,10 @@ def _q_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_self_join(_docs(spark, sf_dir), "doc_id", "text")
+    # 16-char text heads have real duplicate groups in the corpus — a
+    # non-vacuous exercise of the exact join (full text is duplicate-free)
+    df = _docs(spark, sf_dir).withColumn("head16", F.substring("text", 1, 16))
+    return exact_self_join(df, "doc_id", "head16")
 
 
 def _q_anm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +226,8 @@ def _q_down_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entityblockingbysimilarityjoins_spark.operators.sampler import down_sample
 
     toks = _doc_tokens(spark, sf_dir)
-    return down_sample(toks, toks, "rid", "tokens", n_probe=50, y=10, seed=7)
+    return down_sample(toks, toks, "rid", "tokens", n_probe=50, y=10, seed=7,
+                       pool_size=64)
 
 
 def _q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +236,62 @@ def _q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cluster_sample_self(_doc_tokens(spark, sf_dir), "rid", "tokens",
-                               tau=0.85, max_pairs=5000, seed=7)
+                               cluster_tau=0.9, blk_tau=0.85, max_pairs=5000,
+                               seed=7)
+
+
+def _rs_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """R = even doc_ids, S = odd — the RS-join testbed split."""
+    docs = _docs(spark, sf_dir)
+    return docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+
+
+def _q_set_join_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entityblockingbysimilarityjoins_spark.operators.set_join import (
+        set_similarity_rs_join,
+    )
+
+    r, s = _rs_split(spark, sf_dir)
+
+    def tok(df: DataFrame) -> DataFrame:
+        return df.select(F.col("doc_id").alias("rid"), tokens_dlm(F.col("text")).alias("tokens"))
+
+    return set_similarity_rs_join(tok(r), tok(s), "rid", "tokens", "jac", 0.8)
+
+
+def _q_edit_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entityblockingbysimilarityjoins_spark.operators.edit_join import (
+        edit_distance_rs_join,
+    )
+
+    r, s = _rs_split(spark, sf_dir)
+
+    def head(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", F.substring("text", 1, 24).alias("head"))
+
+    return edit_distance_rs_join(head(r), head(s), "doc_id", "head", d=4)
+
+
+def _q_cluster_sample_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entityblockingbysimilarityjoins_spark.operators.sampler import (
+        cluster_sample_rs,
+    )
+
+    r, s = _rs_split(spark, sf_dir)
+
+    def tok(df: DataFrame) -> DataFrame:
+        return df.select(F.col("doc_id").alias("rid"),
+                         tokens_dlm(F.col("text")).alias("tokens"), "text")
+
+    # gold = RS pairs sharing a 16-char text head; density << 0.1 so the
+    # 2-step q-gram re-verification (sample.cc:254-259) always triggers
+    gold = (
+        r.select(F.col("doc_id").alias("id1"), F.substring("text", 1, 16).alias("h"))
+        .join(s.select(F.col("doc_id").alias("id2"), F.substring("text", 1, 16).alias("h")), "h")
+        .select("id1", "id2")
+    )
+    return cluster_sample_rs(tok(r), tok(s), "rid", "tokens", "text", gold,
+                             blk_tau=0.6, step2_tau=0.5, max_pairs=100_000, seed=7)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -261,8 +320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,            # rows-only (approximate)
         "text_stats": _q_text_stats,
         "weighted_jaccard_join": _q_weighted_jac,
-        "down_sample": _q_down_sample,         # rows-only (Spark hash sampling)
-        "cluster_sample": _q_cluster_sample,   # rows-only (Spark hash sampling)
+        "down_sample": _q_down_sample,
+        "cluster_sample": _q_cluster_sample,
+        "set_join_rs": _q_set_join_rs,
+        "edit_distance_rs": _q_edit_rs,
+        "cluster_sample_rs": _q_cluster_sample_rs,
     }
 
 
@@ -310,9 +372,10 @@ FROM documents a JOIN documents b ON a.doc_id < b.doc_id
 WHERE length(substring(a.text, 1, 24)) > 0 AND length(substring(b.text, 1, 24)) > 0
   AND levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24)) <= 4""",
         "exact_join": """
+WITH d AS (SELECT doc_id, substring(text, 1, 16) AS head16 FROM documents)
 SELECT a.doc_id AS id1, b.doc_id AS id2
-FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-WHERE a.text = b.text AND a.text IS NOT NULL AND a.text <> ''""",
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE a.head16 = b.head16 AND a.head16 IS NOT NULL AND a.head16 <> ''""",
         "absolute_norm_join": """
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        1.0 - abs(a.n_chars::DOUBLE - b.n_chars::DOUBLE) / greatest(abs(a.n_chars::DOUBLE), abs(b.n_chars::DOUBLE)) AS sim
@@ -445,4 +508,80 @@ wo AS (SELECT a.doc_id AS id1, b.doc_id AS id2, sum(i.w) AS wov
 SELECT id1, id2, round(wov / (r1.wt + r2.wt - wov), 6) AS sim
 FROM wo JOIN rw r1 ON r1.doc_id = id1 JOIN rw r2 ON r2.doc_id = id2
 WHERE wov / (r1.wt + r2.wt - wov) >= 0.75""",
+        # Falcon down-sampler: hash-chosen probes, top-y/2 partners by shared
+        # tokens + y/2 from the hash-ordered pool (operators.sampler.down_sample)
+        "down_sample": f"""{_TOK_CTE},
+probe AS (SELECT doc_id, tokens FROM tk ORDER BY md5(doc_id::VARCHAR || ':7') LIMIT 50),
+pool AS (SELECT doc_id FROM tk ORDER BY md5(doc_id::VARCHAR || ':8') LIMIT 64),
+ex1 AS (SELECT doc_id, unnest(tokens) AS tok FROM probe),
+ex2 AS (SELECT doc_id, unnest(tokens) AS tok FROM tk),
+shared AS (SELECT ex1.doc_id AS id1, ex2.doc_id AS id2, count(*) AS c
+           FROM ex1 JOIN ex2 USING (tok) WHERE ex1.doc_id <> ex2.doc_id
+           GROUP BY 1, 2),
+top AS (SELECT id1, id2 FROM (
+          SELECT id1, id2,
+                 row_number() OVER (PARTITION BY id1 ORDER BY c DESC, id2 ASC) AS rn
+          FROM shared) WHERE rn <= 5),
+rnd AS (SELECT id1, id2 FROM (
+          SELECT p.doc_id AS id1, q.doc_id AS id2,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY md5(p.doc_id::VARCHAR || ':' || q.doc_id::VARCHAR || ':7')) AS rn
+          FROM probe p CROSS JOIN pool q WHERE p.doc_id <> q.doc_id) WHERE rn <= 5)
+SELECT DISTINCT id1, id2 FROM (SELECT * FROM top UNION ALL SELECT * FROM rnd)""",
+        # cluster sampler: CC at 0.9, candidate pairs at 0.85 mapped to
+        # min-id cluster labels, distinct cross-cluster pairs, hash-capped
+        "cluster_sample": f"""{_TOK_CTE},
+p1 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+       WHERE len(a.tokens) > 0 AND len(b.tokens) > 0 AND {jac} >= 0.9),
+edges AS (SELECT id1 AS u, id2 AS v FROM p1 UNION SELECT id2, id1 FROM p1),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+comp AS (SELECT node, min(c) AS component FROM (
+  WITH RECURSIVE walk(node, c) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.v, w.c FROM walk w JOIN edges e ON e.u = w.node WHERE w.c < e.v
+  ) SELECT node, c FROM walk
+) GROUP BY node),
+p2 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+       WHERE len(a.tokens) > 0 AND len(b.tokens) > 0 AND {jac} >= 0.85),
+cp AS (SELECT DISTINCT
+         least(coalesce(ca.component, p2.id1), coalesce(cb.component, p2.id2)) AS id1,
+         greatest(coalesce(ca.component, p2.id1), coalesce(cb.component, p2.id2)) AS id2
+       FROM p2
+       LEFT JOIN comp ca ON ca.node = p2.id1
+       LEFT JOIN comp cb ON cb.node = p2.id2
+       WHERE coalesce(ca.component, p2.id1) <> coalesce(cb.component, p2.id2))
+SELECT id1, id2 FROM cp
+ORDER BY md5(id1::VARCHAR || ':' || id2::VARCHAR || ':7') LIMIT 5000""",
+        "set_join_rs": f"""{_TOK_CTE}
+SELECT a.doc_id AS id1, b.doc_id AS id2, {jac} AS sim
+FROM tk a JOIN tk b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+WHERE len(a.tokens) > 0 AND len(b.tokens) > 0 AND {jac} >= 0.8""",
+        "edit_distance_rs": """
+WITH d AS (SELECT doc_id, substring(text, 1, 24) AS head FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       levenshtein(a.head, b.head)::INT AS dist
+FROM d a JOIN d b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+WHERE length(a.head) > 0 AND length(b.head) > 0
+  AND levenshtein(a.head, b.head) <= 4""",
+        # RS sampling path: jac>=0.6 candidates, md5-capped, then the 2-step
+        # 3-gram re-verification (gold density << 0.1 always triggers it)
+        "cluster_sample_rs": f"""{_TOK_CTE},
+cand0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM tk a JOIN tk b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+          WHERE len(a.tokens) > 0 AND len(b.tokens) > 0 AND {jac} >= 0.6),
+cand AS (SELECT id1, id2 FROM cand0
+         ORDER BY md5(id1::VARCHAR || ':' || id2::VARCHAR || ':7') LIMIT 100000),
+g3 AS (SELECT doc_id,
+       list_sort(list_distinct(list_filter(
+         list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                        i -> substring(text, i, 3)),
+         x -> regexp_matches(x, '^[a-zA-Z0-9]{{3}}$')))) AS t FROM documents)
+SELECT c.id1, c.id2, 0::INT AS label
+FROM cand c JOIN g3 a ON a.doc_id = c.id1 JOIN g3 b ON b.doc_id = c.id2
+WHERE len(a.t) > 0 AND len(b.t) > 0
+  AND len(list_intersect(a.t, b.t))::DOUBLE
+      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5""",
     }
