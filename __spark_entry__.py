@@ -202,7 +202,8 @@ def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_lsh_topk(emb, emb, "vec_id", "embedding", k=5)
+    return ann_lsh_topk(emb, emb, "vec_id", "embedding", k=5).withColumn(
+        "cos", F.round("cos", 6))
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dedup": _q_ngram_dedup,
         "embedding_neardup": _q_emb_neardup,
         "ann_topk": _q_ann,
-        "ann_lsh_topk": _q_ann_lsh,            # rows-only (approximate)
+        "ann_lsh_topk": _q_ann_lsh,
         "text_stats": _q_text_stats,
         "weighted_jaccard_join": _q_weighted_jac,
         "down_sample": _q_down_sample,
@@ -464,6 +465,29 @@ SELECT query_id, neighbor_id, round(c, 6) AS cos,
        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC)::INT AS rank
 FROM scored
 QUALIFY rank <= 5""",
+        # the FULL approximate pipeline reproduced in SQL: md5-derived
+        # hyperplanes (ann.md5_planes formula), 6 bands x 12 sign bits,
+        # bucket-cohort candidates, exact cosine re-rank
+        "ann_lsh_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pl AS (SELECT qq.q AS q, dd.d AS d,
+        ((('0x' || substr(md5('pl:11:' || qq.q::VARCHAR || ':' || dd.d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS w
+       FROM (SELECT unnest(range(72)) AS q) qq, (SELECT unnest(range(64)) AS d) dd),
+proj AS (SELECT e.vec_id, pl.q, sum(e.emb[pl.d + 1] * pl.w) AS s
+         FROM e, pl GROUP BY 1, 2),
+sig AS (SELECT vec_id, q // 12 AS band,
+               sum(CASE WHEN s >= 0 THEN (1::BIGINT << (q % 12)) ELSE 0 END) AS bv
+        FROM proj GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         FROM sig a JOIN sig b ON a.band = b.band AND a.bv = b.bv
+         WHERE a.vec_id <> b.vec_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(ea.emb, eb.emb) AS c0
+           FROM cand c JOIN e ea ON ea.vec_id = c.query_id
+                       JOIN e eb ON eb.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, round(c0, 6) AS cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY c0 DESC, neighbor_id ASC)::INT AS rank
+FROM scored QUALIFY rank <= 5""",
         "text_stats": f"""
 WITH t AS (
   SELECT doc_id, text,

@@ -1,25 +1,53 @@
 """Approximate nearest-neighbor search over an embedding column.
 
-- ``ann_bruteforce_topk``: exact cosine top-k per query — block-nested join
-  with native zip_with/aggregate dot products + per-query window top-k.
-  The baseline and the correctness oracle.
+- ``ann_bruteforce_topk``: exact cosine top-k per query.
+  impl='auto' (default) picks the physical strategy by corpus size:
+  a single broadcast matmul while the corpus matrix fits
+  ``max_broadcast_bytes``, otherwise a **sharded** scan — the corpus is
+  split into broadcast-able hash shards, each shard scores all queries with
+  one numpy matmul (Arrow batches, BLAS), and the per-shard top-k lists are
+  merged with one final window over |Q| * shards * k rows. No driver-side
+  structure ever exceeds one shard.
 - ``ann_lsh_topk``: random-hyperplane LSH bucket candidates (multi-band
   probing) then exact re-rank within candidates — the 100 TB path: each
   query only scores its bucket cohort instead of the full corpus.
+
+Hyperplanes are derived from md5, not a local RNG: component
+``w[q][d] = (int(md5("pl:{seed}:{q}:{d}")[:15], 16) % 2001 - 1000) / 1000``.
+The same formula is computable in ANSI SQL (DuckDB:
+``(('0x' || substr(md5(...), 1, 15))::BIGINT % 2001 - 1000) / 1000.0``), so
+the *approximate* operator has an exact cross-engine correctness oracle.
 
 Ordering is deterministic: (cos DESC, neighbor id ASC).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: corpus matrices above this size are never broadcast whole (driver safety)
+DEFAULT_MAX_BROADCAST_BYTES = 256 << 20
 
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                        lambda acc, v: acc + v)
+
+
+def md5_plane_component(seed: int, q: int, d: int) -> float:
+    """Deterministic engine-portable pseudo-random plane component in [-1, 1]."""
+    h = int(hashlib.md5(f"pl:{seed}:{q}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def md5_planes(seed: int, n: int, dim: int) -> np.ndarray:
+    return np.array(
+        [[md5_plane_component(seed, q, d) for d in range(dim)] for q in range(n)]
+    )
 
 
 def _prep(df: DataFrame, id_col: str, emb_col: str, out: str) -> DataFrame:
@@ -40,44 +68,22 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def ann_bruteforce_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str,
-    emb_col: str,
-    k: int = 10,
-    exclude_self: bool = True,
-    impl: str = "blas",
+def _blas_score_topk(
+    q: DataFrame,
+    shard_rows: list,
+    k: int,
+    exclude_self: bool,
+    id_type: str,
 ) -> DataFrame:
-    """Exact top-k: (query_id, neighbor_id, cos, rank).
-
-    impl='blas': the corpus matrix is broadcast to executors and every query
-    batch scores against it with one numpy matmul (Arrow batches, BLAS) —
-    the block-nested-loop shape that scales by partitioning queries; the
-    corpus side must fit an executor (beyond that, shard the corpus and merge
-    per-shard top-k, or switch to ann_lsh_topk).
-    impl='native': pure Column expressions (crossJoin + zip_with dot) — the
-    oracle path, no Python at all."""
-    q = _prep(queries, id_col, emb_col, "query")
-    c = _prep(corpus, id_col, emb_col, "neighbor")
-    if impl == "native":
-        pairs = q.crossJoin(c)
-        if exclude_self:
-            pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-        scored = pairs.withColumn(
-            "cos", _dot(F.col("query_e"), F.col("neighbor_e")) / (F.col("query_n") * F.col("neighbor_n"))
-        )
-        return _topk(scored, k)
-
+    """Per-shard top-k: broadcast one shard's matrix, score query batches."""
     import pandas as pd
 
-    rows = c.select("neighbor_id", "neighbor_e", "neighbor_n").collect()
-    ids = np.array([r["neighbor_id"] for r in rows])
+    ids = np.array([r["neighbor_id"] for r in shard_rows])
     order = np.argsort(ids)
     ids = ids[order]
-    M = np.array([rows[i]["neighbor_e"] for i in order], dtype=np.float64)
-    M /= np.array([rows[i]["neighbor_n"] for i in order], dtype=np.float64)[:, None]
-    spark = queries.sparkSession
+    M = np.array([shard_rows[i]["neighbor_e"] for i in order], dtype=np.float64)
+    M /= np.array([shard_rows[i]["neighbor_n"] for i in order], dtype=np.float64)[:, None]
+    spark = q.sparkSession
     b_ids = spark.sparkContext.broadcast(ids)
     b_M = spark.sparkContext.broadcast(M)
 
@@ -102,9 +108,73 @@ def ann_bruteforce_topk(
                     out_rows.append((qid, cid[j], float(s[j]), rank))
             yield pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "cos", "rank"])
 
-    qid_type = dict(queries.select(F.col(id_col)).dtypes)[id_col]
-    schema = f"query_id {qid_type}, neighbor_id {qid_type}, cos double, rank int"
+    schema = f"query_id {id_type}, neighbor_id {id_type}, cos double, rank int"
     return q.select("query_id", "query_e", "query_n").mapInPandas(score, schema=schema)
+
+
+def ann_bruteforce_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    emb_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+    impl: str = "auto",
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cos, rank).
+
+    impl='auto': one broadcast matmul if the corpus matrix fits
+    ``max_broadcast_bytes``, else the sharded plan (see module doc).
+    impl='blas': force the single-broadcast path (raises if oversized).
+    impl='native': pure Column expressions (crossJoin + zip_with dot) — the
+    oracle path, no Python at all."""
+    q = _prep(queries, id_col, emb_col, "query")
+    c = _prep(corpus, id_col, emb_col, "neighbor")
+    if impl == "native":
+        pairs = q.crossJoin(c)
+        if exclude_self:
+            pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = pairs.withColumn(
+            "cos", _dot(F.col("query_e"), F.col("neighbor_e")) / (F.col("query_n") * F.col("neighbor_n"))
+        )
+        return _topk(scored, k)
+    if impl not in ("auto", "blas"):
+        raise ValueError(impl)
+
+    id_type = dict(queries.select(F.col(id_col)).dtypes)[id_col]
+    c = c.persist()
+    n_rows, dim = c.select(
+        F.count("*").alias("n"), F.first(F.size("neighbor_e")).alias("d")
+    ).first()
+    approx_bytes = (n_rows or 0) * (dim or 0) * 8
+    n_shards = max(1, -(-approx_bytes // max_broadcast_bytes))  # ceil div
+    if impl == "blas" and n_shards > 1:
+        raise ValueError(
+            f"corpus matrix ~{approx_bytes >> 20} MiB exceeds the broadcast "
+            f"cap ({max_broadcast_bytes >> 20} MiB); use impl='auto'"
+        )
+    if n_shards == 1:
+        rows = c.select("neighbor_id", "neighbor_e", "neighbor_n").collect()
+        return _blas_score_topk(q, rows, k, exclude_self, id_type)
+    # sharded: the driver holds ONE shard at a time while creating its
+    # broadcast; per-shard top-k lists are unioned and merged by one window
+    # over |Q| * n_shards * k rows.
+    q = q.persist()
+    parts = []
+    for b in range(int(n_shards)):
+        shard = c.filter(F.pmod(F.xxhash64("neighbor_id"), F.lit(int(n_shards))) == b)
+        rows = shard.select("neighbor_id", "neighbor_e", "neighbor_n").collect()
+        if rows:
+            parts.append(_blas_score_topk(q, rows, k, exclude_self, id_type))
+    if not parts:
+        return q.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, cos double, rank int"
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return _topk(merged.select("query_id", "neighbor_id", "cos"), k)
 
 
 def ann_lsh_topk(
@@ -119,13 +189,15 @@ def ann_lsh_topk(
     dim: int | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same hyperplane-sign band bucket."""
+    """Approximate top-k: candidates = same hyperplane-sign band bucket.
+
+    Planes come from ``md5_planes`` — bit-for-bit reproducible in SQL, so
+    the full approximate pipeline (bucketing included) has a DuckDB oracle."""
     q = _prep(queries, id_col, emb_col, "query").persist()
     c = _prep(corpus, id_col, emb_col, "neighbor").persist()
     if dim is None:
         dim = len(q.select("query_e").first()["query_e"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bands * n_planes, dim))
+    planes = md5_planes(seed, n_bands * n_planes, dim)
 
     def sig(df: DataFrame, side: str) -> DataFrame:
         band_cols = []

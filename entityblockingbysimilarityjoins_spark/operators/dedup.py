@@ -261,21 +261,33 @@ def embedding_neardup_pairs(
     id_col: str,
     emb_col: str,
     threshold: float = 0.95,
-    method: str = "lsh",
+    method: str = "auto",
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 7,
     dim: int | None = None,
     sim_col: str = "cos",
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. 'brute' is exact; 'lsh' buckets by
-    random-hyperplane sign bands then verifies exactly (scale path)."""
+    md5-derived random-hyperplane sign bands then verifies exactly (the
+    scale path); 'blas' broadcasts the corpus matrix (exact, fast while it
+    fits); 'auto' picks blas when the matrix fits the broadcast cap and
+    falls back to lsh beyond it — the default never risks a driver OOM."""
+    from .ann import DEFAULT_MAX_BROADCAST_BYTES
+
+    cap = max_broadcast_bytes or DEFAULT_MAX_BROADCAST_BYTES
     base = (
         df.select(F.col(id_col).alias("rid"), F.col(emb_col).cast("array<double>").alias("e"))
         .withColumn("__n", F.sqrt(_dot(F.col("e"), F.col("e"))))
         .filter(F.col("__n") > 0)
         .persist()
     )
+    if method == "auto":
+        n_rows, d = base.select(
+            F.count("*").alias("n"), F.first(F.size("e")).alias("d")
+        ).first()
+        method = "blas" if (n_rows or 0) * (d or 0) * 8 <= cap else "lsh"
     if method == "blas":
         # broadcast corpus matrix; each partition scores its rows with one
         # matmul — exact, Arrow-batched, the fast path while the corpus fits
@@ -312,10 +324,11 @@ def embedding_neardup_pairs(
             .filter(F.col("rid1") < F.col("rid2"))
         )
     elif method == "lsh":
+        from .ann import md5_planes
+
         if dim is None:
             dim = len(base.select("e").first()["e"])
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((n_planes * n_bands, dim))
+        planes = md5_planes(seed, n_planes * n_bands, dim)
         sig_cols = []
         for band in range(n_bands):
             bits = []
