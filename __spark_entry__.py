@@ -295,6 +295,63 @@ def _q_cluster_sample_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              blk_tau=0.6, step2_tau=0.5, max_pairs=100_000, seed=7)
 
 
+def _head_blocked_pairs(spark: SparkSession, sf_dir: str, head_len: int) -> DataFrame:
+    """Pairs blocked on an 8-char text-head key (real duplicate groups),
+    carrying `head_len`-char heads for character-sim scoring."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, head_len).alias("head"),
+    )
+    a = d.select(F.col("doc_id").alias("id1"), "blk", F.col("head").alias("h1"))
+    b = d.select(F.col("doc_id").alias("id2"), "blk", F.col("head").alias("h2"))
+    return a.join(b, "blk").filter(F.col("id1") < F.col("id2"))
+
+
+def _q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entityblockingbysimilarityjoins_spark.functions.sim import jaro_winkler
+
+    p = _head_blocked_pairs(spark, sf_dir, 40)
+    return p.select("id1", "id2",
+                    F.round(jaro_winkler(F.col("h1"), F.col("h2")), 6).alias("jw"))
+
+
+def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entityblockingbysimilarityjoins_spark.functions.sim import monge_elkan
+
+    p = _head_blocked_pairs(spark, sf_dir, 60)
+    return p.select("id1", "id2",
+                    F.round(monge_elkan(F.col("h1"), F.col("h2")), 6).alias("me"))
+
+
+def _q_weighted_ovlp_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weightedOverlapCoeff over jac>=0.8 candidate pairs (simfunc.cc:265)."""
+    from entityblockingbysimilarityjoins_spark.functions.dictionary import (
+        build_dictionary,
+    )
+
+    toks = _doc_tokens(spark, sf_dir)
+    dictionary = build_dictionary(toks.select("tokens"))
+    pairs = set_similarity_self_join(toks, "rid", "tokens", "jac", 0.8).select("id1", "id2")
+    enc = toks.join(
+        toks.select(F.explode("tokens").alias("token"), F.col("rid"))
+        .join(F.broadcast(dictionary.select("token", "idf")), "token")
+        .groupBy("rid").agg(F.sum("idf").alias("wt")),
+        "rid",
+    )
+    l = enc.select(F.col("rid").alias("id1"), F.col("tokens").alias("t1"), F.col("wt").alias("w1"))
+    r = enc.select(F.col("rid").alias("id2"), F.col("tokens").alias("t2"), F.col("wt").alias("w2"))
+    inter = (
+        pairs.join(l, "id1").join(r, "id2")
+        .select("id1", "id2", "w1", "w2", F.explode(F.array_intersect("t1", "t2")).alias("token"))
+        .join(F.broadcast(dictionary.select("token", "idf")), "token")
+        .groupBy("id1", "id2", "w1", "w2")
+        .agg(F.sum("idf").alias("wov"))
+    )
+    return inter.select(
+        "id1", "id2", F.round(F.col("wov") / F.least("w1", "w2"), 6).alias("wocoeff"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rule-union blocker over sf0.001 pages-like documents."""
     return _q_block(spark, "/root/testdata/sf0.001")
@@ -326,6 +383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_join_rs": _q_set_join_rs,
         "edit_distance_rs": _q_edit_rs,
         "cluster_sample_rs": _q_cluster_sample_rs,
+        "jaro_winkler": _q_jaro_winkler,
+        "monge_elkan": _q_monge_elkan,
+        "weighted_overlap_coeff": _q_weighted_ovlp_coeff,
     }
 
 
@@ -608,4 +668,37 @@ FROM cand c JOIN g3 a ON a.doc_id = c.id1 JOIN g3 b ON b.doc_id = c.id2
 WHERE len(a.t) > 0 AND len(b.t) > 0
   AND len(list_intersect(a.t, b.t))::DOUBLE
       / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5""",
+        # DuckDB's jaro_winkler_similarity is reference-exact (verified
+        # against simfunc.cc:318-384 semantics across the corpus)
+        "jaro_winkler": """
+WITH d AS (SELECT doc_id, substring(text, 1, 8) AS blk,
+                  substring(text, 1, 40) AS head FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(jaro_winkler_similarity(a.head, b.head), 6) AS jw
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id""",
+        "monge_elkan": """
+WITH d AS (SELECT doc_id, substring(text, 1, 8) AS blk,
+                  list_filter(string_split(substring(text, 1, 60), ' '), x -> x <> '') AS t
+           FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CASE WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+             ELSE list_avg(list_transform(a.t,
+                    x -> list_max(list_transform(b.t,
+                           y -> jaro_winkler_similarity(x, y))))) END, 6) AS me
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id""",
+        "weighted_overlap_coeff": f"""{_TOK_CTE},
+ex AS (SELECT doc_id, unnest(tokens) AS token FROM tk),
+idf AS (SELECT token, log10((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS w
+        FROM ex GROUP BY token),
+rw AS (SELECT doc_id, sum(w) AS wt FROM ex JOIN idf USING (token) GROUP BY doc_id),
+pj AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+       WHERE len(a.tokens) > 0 AND len(b.tokens) > 0 AND {jac} >= 0.8),
+wo AS (SELECT id1, id2, sum(i.w) AS wov
+       FROM pj JOIN ex e1 ON e1.doc_id = id1
+               JOIN ex e2 ON e2.doc_id = id2 AND e2.token = e1.token
+               JOIN idf i ON i.token = e1.token
+       GROUP BY 1, 2)
+SELECT id1, id2, round(wov / least(r1.wt, r2.wt), 6) AS wocoeff
+FROM wo JOIN rw r1 ON r1.doc_id = id1 JOIN rw r2 ON r2.doc_id = id2""",
     }

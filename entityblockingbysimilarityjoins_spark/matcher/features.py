@@ -105,13 +105,20 @@ def _tok_col(feat: Feature) -> str:
 
 
 def _feature_col(feat: Feature, l: Column, r: Column,
-                 tl: Column | None = None, tr: Column | None = None) -> Column:
+                 tl: Column | None = None, tr: Column | None = None,
+                 topk_normalize: bool = False) -> Column:
     """NULL when either side is empty, else the similarity value.
 
     ``tl``/``tr`` are pre-tokenized record-side arrays — tokenization runs
-    once per record, never per candidate pair."""
+    once per record, never per candidate pair. ``topk_normalize`` is the F4
+    top-K mode: unbounded ``overlap`` features evaluate as ``overlap_coeff``
+    so every feature the TA scorer consumes lies in [0, 1]
+    (cal_feature.cc:326-328, isTopK branch)."""
     if feat.tok:
-        val = S.SET_SIMS[feat.sim](tl, tr)
+        sim_key = feat.sim
+        if topk_normalize and sim_key == "overlap":
+            sim_key = "overlap_coeff"
+        val = S.SET_SIMS[sim_key](tl, tr)
         return F.when(_empty(l) | _empty(r) | (F.size(tl) == 0) | (F.size(tr) == 0),
                       F.lit(None).cast("double")).otherwise(val)
     if feat.sim == "lev_dist":
@@ -122,6 +129,10 @@ def _feature_col(feat: Feature, l: Column, r: Column,
         val = S.exact_match(l.cast("string"), r.cast("string"))
     elif feat.sim == "abs_norm":
         val = S.absolute_norm(l, r)
+    elif feat.sim == "jaro_winkler":
+        val = S.jaro_winkler(l.cast("string"), r.cast("string"))
+    elif feat.sim == "monge_elkan":
+        val = S.monge_elkan(l.cast("string"), r.cast("string"))
     else:
         raise ValueError(f"untokenized feature {feat.sim!r}")
     return F.when(_empty(l) | _empty(r), F.lit(None).cast("double")).otherwise(val)
@@ -144,6 +155,7 @@ def extract_features(
     id_col: str,
     features: list[Feature],
     keep_cols: tuple[str, ...] = (),
+    topk_normalize: bool = False,
 ) -> DataFrame:
     """F2: (id1, id2, <feature name>...) feature matrix for candidate pairs.
 
@@ -173,6 +185,6 @@ def extract_features(
         tr = F.col(f"r_{_tok_col(feat)}") if feat.tok else None
         cols.append(
             _feature_col(feat, F.col(f"l_{feat.attr}"), F.col(f"r_{feat.attr}"),
-                         tl, tr).alias(feat.name)
+                         tl, tr, topk_normalize=topk_normalize).alias(feat.name)
         )
     return payload.select(*cols)
