@@ -166,6 +166,64 @@ class RandomForestMatcher:
         return (self.predict_proba(X) >= threshold).astype(np.int64)
 
 
+#: reference GridSearchCV grid (random_forest.py:441-447); min_samples_split
+#: maps onto this forest's 2*min_samples_leaf split gate
+DEFAULT_PARAM_GRID = {
+    "max_depth": [None, 10, 20, 30],
+    "min_samples_split": [2, 5, 10],
+    "min_samples_leaf": [1, 2, 4],
+}
+
+
+def tune_matcher(
+    X: np.ndarray,
+    y: np.ndarray,
+    feature_names: list[str] | None = None,
+    param_grid: dict | None = None,
+    cv: int = 5,
+    n_trees: int = 10,
+    random_state: int = 0,
+) -> RandomForestMatcher:
+    """M1 tuning: k-fold cross-validated grid search (reference
+    ``random_forest.py:441-459``, GridSearchCV cv=5, accuracy scoring),
+    driver-side — the labeled sample is small by construction. Deterministic:
+    seeded fold assignment, ties broken by grid order. Returns the
+    best-params matcher refit on the full sample."""
+    import itertools
+
+    grid = param_grid or DEFAULT_PARAM_GRID
+    X = np.nan_to_num(np.asarray(X, dtype=np.float64), nan=0.0)
+    y = np.asarray(y, dtype=np.int64)
+    rng = np.random.default_rng(random_state)
+    fold = rng.permutation(len(y)) % cv
+
+    keys = list(grid)
+    best_params, best_acc = None, -1.0
+    for combo in itertools.product(*[grid[k] for k in keys]):
+        params = dict(zip(keys, combo))
+        depth = params.get("max_depth") or 64
+        leaf = max(int(params.get("min_samples_leaf", 1)),
+                   int(params.get("min_samples_split", 2)) // 2)
+        accs = []
+        for f in range(cv):
+            tr, te = fold != f, fold == f
+            if y[tr].sum() in (0, tr.sum()) or te.sum() == 0:
+                continue
+            m = RandomForestMatcher(
+                n_trees=n_trees, max_depth=depth, min_samples_leaf=leaf,
+                random_state=random_state,
+            ).fit(X[tr], y[tr])
+            accs.append(float((m.predict(X[te]) == y[te]).mean()))
+        acc = float(np.mean(accs)) if accs else -1.0
+        if acc > best_acc + 1e-12:
+            best_acc, best_params = acc, (depth, leaf)
+    depth, leaf = best_params if best_params else (64, 1)
+    return RandomForestMatcher(
+        n_trees=n_trees, max_depth=depth, min_samples_leaf=leaf,
+        random_state=random_state,
+    ).fit(X, y, feature_names)
+
+
 def predict_column(model: RandomForestMatcher, feature_cols: list[str]):
     """Vectorized pandas-UDF Column: match probability per candidate row.
 

@@ -52,6 +52,9 @@ class PipelineConfig:
     n_random_negatives: int = 2000
     n_trees: int = 12
     max_depth: int = 10
+    #: cross-validated grid search over the reference's param grid
+    #: (random_forest.py:441-459) instead of the fixed depth/leaf above
+    tune: bool = False
     match_threshold: float = 0.5
     seed: int = 0
     # V7/V8: interchangeable-value second round (re-match negatives with
@@ -124,10 +127,18 @@ def run_pipeline(
     feat_df = extract_features(sample.select("id1", "id2"), records, idc, features)
     train_pdf = feat_df.join(sample.select("id1", "id2", "label"), ["id1", "id2"]).toPandas()
     feat_names = [f.name for f in features]
-    model = RandomForestMatcher(
-        n_trees=cfg.n_trees, max_depth=cfg.max_depth, random_state=cfg.seed,
-        feature_names=feat_names,
-    ).fit(train_pdf[feat_names].to_numpy(), train_pdf["label"].to_numpy())
+    if cfg.tune:
+        from ..matcher.random_forest import tune_matcher
+
+        model = tune_matcher(
+            train_pdf[feat_names].to_numpy(), train_pdf["label"].to_numpy(),
+            feature_names=feat_names, n_trees=cfg.n_trees, random_state=cfg.seed,
+        )
+    else:
+        model = RandomForestMatcher(
+            n_trees=cfg.n_trees, max_depth=cfg.max_depth, random_state=cfg.seed,
+            feature_names=feat_names,
+        ).fit(train_pdf[feat_names].to_numpy(), train_pdf["label"].to_numpy())
 
     # E2b: blocking rules from the forest's decision paths
     rules, uncovered = extract_blocking_rules(model, features)

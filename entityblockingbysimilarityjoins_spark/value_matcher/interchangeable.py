@@ -10,11 +10,14 @@ Reference semantics re-expressed:
   them (we use the distributed connected-components operator); each group's
   representative is its minimum value (deterministic);
 - ``normalize_values`` rewrites an attribute to group representatives (V5,
-  ``interchangeable.py:17-67``) so re-extracted features treat interchangeable
-  values as equal;
+  ``interchangeable.py:17-67``) so downstream consumers can canonicalize;
+- ``extract_features_ic`` (F3/V6, ``cpp/feature/cal_feature.cc:37-317``):
+  feature values are the max (min for lev) over all IC-group member
+  combinations — the reference's consistency-aware scoring, not value
+  substitution;
 - ``rematch_negatives`` (V7, ``matcher/match.py:135-166``): re-extract
-  features for the matcher's negatives over the normalized table, re-predict,
-  append recovered positives;
+  IC-max features for the matcher's negatives, re-predict, append recovered
+  positives;
 - ``cluster_pairs_ic`` (V8, ``interchangeable.py:70-158``): entity clusters =
   connected components over matched pairs plus interchangeable-value edges.
 """
@@ -107,6 +110,112 @@ def cluster_pairs_ic(
     )
 
 
+def extract_features_ic(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    features: list,
+    groups_per_attr: dict[str, DataFrame],
+) -> DataFrame:
+    """F3/V6: IC-max feature matrix (``cpp/feature/cal_feature.cc:37-317``).
+
+    Reference semantics, not value substitution: a feature over (l, r) is the
+    **max** over all combinations of l's and r's IC-group member values
+    (min of |v| for lev features, cal_feature.cc:76-80); two values in the
+    SAME group score 1.0 (overlap: the max member token count,
+    cal_feature.cc:105-112 ``lcltid == rcltid`` branch).
+
+    Plan shape: member lists and their tokenizations are materialized on the
+    records side (groups are broadcast — they are tiny relative to the
+    corpus); per pair, only nested array transforms over the few-member
+    arrays run — no per-pair Python, no extra shuffle beyond the payload
+    joins."""
+    from ..functions import sim as S
+    from ..functions.tokenize import tokenizer
+    from ..matcher.features import _empty
+
+    attrs = sorted({f.attr for f in features})
+    rec = records.select(id_col, *attrs)
+    for attr in attrs:
+        groups = groups_per_attr.get(attr)
+        if groups is None:
+            rec = rec.withColumn(f"__rep_{attr}", F.col(attr))
+            rec = rec.withColumn(f"__mem_{attr}", F.array(F.col(attr)))
+            continue
+        members = groups.groupBy("representative").agg(
+            F.array_sort(F.collect_list("value")).alias("__grp")
+        )
+        g = groups.withColumnsRenamed({"value": attr, "representative": f"__rep0_{attr}"})
+        rec = (
+            rec.join(F.broadcast(g), attr, "left")
+            .withColumn(f"__rep_{attr}", F.coalesce(f"__rep0_{attr}", attr))
+            .drop(f"__rep0_{attr}")
+            .join(
+                F.broadcast(members.withColumnsRenamed({"representative": f"__rep_{attr}"})),
+                f"__rep_{attr}",
+                "left",
+            )
+            .withColumn(f"__mem_{attr}", F.coalesce("__grp", F.array(F.col(attr))))
+            .drop("__grp")
+        )
+    tok_keys = sorted({(f.attr, f.tok, str(f.tok_settings)) for f in features if f.tok})
+    for attr, tok, settings in tok_keys:
+        fn = tokenizer(tok, None if settings == "None" else settings)
+        rec = rec.withColumn(
+            f"__mtok_{attr}_{tok}_{settings}",
+            F.transform(f"__mem_{attr}", lambda e: fn(e)),
+        )
+    rec = rec.persist()
+
+    side_cols = [c for c in rec.columns if c != id_col]
+    l = rec.select(F.col(id_col).alias("id1"), *[F.col(c).alias(f"l_{c}") for c in side_cols])
+    r = rec.select(F.col(id_col).alias("id2"), *[F.col(c).alias(f"r_{c}") for c in side_cols])
+    payload = pairs.join(l.hint("shuffle_hash"), "id1").join(r.hint("shuffle_hash"), "id2")
+
+    cols = [F.col("id1"), F.col("id2")]
+    for feat in features:
+        lval, rval = F.col(f"l_{feat.attr}"), F.col(f"r_{feat.attr}")
+        same_grp = F.col(f"l___rep_{feat.attr}") == F.col(f"r___rep_{feat.attr}")
+        if feat.tok:
+            mt = f"__mtok_{feat.attr}_{feat.tok}_{feat.tok_settings}"
+            lm, rm = F.col(f"l_{mt}"), F.col(f"r_{mt}")
+            simfn = S.SET_SIMS[feat.sim]
+            cross = F.array_max(
+                F.flatten(F.transform(lm, lambda a: F.transform(rm, lambda b: simfn(a, b))))
+            )
+            if feat.sim == "overlap":
+                same_val = F.array_max(F.transform(lm, lambda a: F.size(a))).cast("double")
+            else:
+                same_val = F.lit(1.0)
+            val = F.when(same_grp, same_val).otherwise(cross)
+        else:
+            lm, rm = F.col(f"l___mem_{feat.attr}"), F.col(f"r___mem_{feat.attr}")
+            if feat.sim == "lev_dist":
+                cross = F.array_min(
+                    F.flatten(F.transform(lm, lambda a: F.transform(
+                        rm, lambda b: F.abs(S.lev_dist(a.cast("string"), b.cast("string"))))))
+                )
+                same_val = F.lit(0.0)
+            else:
+                if feat.sim == "lev_sim":
+                    fn = lambda a, b: S.lev_sim(a.cast("string"), b.cast("string"))  # noqa: E731
+                elif feat.sim == "exact_match":
+                    fn = lambda a, b: S.exact_match(a.cast("string"), b.cast("string"))  # noqa: E731
+                elif feat.sim == "abs_norm":
+                    fn = S.absolute_norm
+                else:
+                    raise ValueError(f"untokenized feature {feat.sim!r}")
+                cross = F.array_max(F.flatten(F.transform(lm, lambda a: F.transform(rm, lambda b: fn(a, b)))))
+                same_val = F.lit(1.0)
+            val = F.when(same_grp, same_val).otherwise(cross)
+        cols.append(
+            F.when(_empty(lval) | _empty(rval), F.lit(None).cast("double"))
+            .otherwise(val)
+            .alias(feat.name)
+        )
+    return payload.select(*cols)
+
+
 def rematch_negatives(
     predicted: DataFrame,
     records: DataFrame,
@@ -116,16 +225,20 @@ def rematch_negatives(
     groups_per_attr: dict[str, DataFrame],
     threshold: float = 0.5,
 ) -> DataFrame:
-    """V7: re-score the matcher's negatives with IC-normalized attributes;
-    returns the full match set (original positives ∪ recovered negatives)."""
-    from ..matcher.features import extract_features
+    """V7: re-score the matcher's negatives with IC-max features
+    (cal_feature semantics); returns the full match set (original positives
+    ∪ recovered negatives)."""
     from ..matcher.random_forest import apply_matcher
 
-    norm = records
-    for attr, groups in groups_per_attr.items():
-        norm = normalize_values(norm, attr, groups)
     negatives = predicted.filter(~F.col("match")).select("id1", "id2")
-    neg_feats = extract_features(negatives, norm, id_col, features)
+    # localCheckpoint: the IC-max columns are deeply nested HOF expressions;
+    # feeding them straight into the Arrow-UDF scorer trips Catalyst's
+    # subexpression-elimination proxies ("Cannot evaluate expression"), and
+    # cutting the plan here also stops the matcher re-deriving the whole
+    # feature stage per downstream action
+    neg_feats = extract_features_ic(
+        negatives, records, id_col, features, groups_per_attr
+    ).localCheckpoint()
     rescored = apply_matcher(neg_feats, model, threshold=threshold)
     recovered = rescored.filter(F.col("match")).select("id1", "id2")
     return predicted.filter(F.col("match")).select("id1", "id2").unionByName(recovered)
