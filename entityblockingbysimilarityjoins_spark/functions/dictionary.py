@@ -79,32 +79,50 @@ def encode_tokens(
     out_col: str = "tids",
     weight_col: str | None = "wt",
     broadcast_dict: bool = True,
+    idfs_col: str | None = None,
 ) -> DataFrame:
     """Re-encode string-token arrays as sorted int-id arrays (+ IDF record weight).
 
     Sorted ascending == rarest-first (see module doc). Rows whose token set is
     empty keep an empty array and weight 0.0 (DROP_EMPTY happens later, at the
     join's filter, matching setjoin.cc:199-202 semantics).
-    """
+
+    ``idfs_col``: optionally also emit the per-token idf array aligned with
+    ``out_col`` (idfs[i] = idf of tids[i]) — weighted joins derive suffix
+    weights and the verification map from it with pure projections, no extra
+    shuffle."""
     d = dictionary.select("token", "tid", "idf")
     if broadcast_dict:
         d = F.broadcast(d)
     exploded = df.select(id_col, F.explode(tokens_col).alias("token"))
+    # array_sort on (tid, idf) structs orders by tid — tids and idfs stay
+    # aligned through one aggregation
     enc = (
         exploded.join(d, "token")
         .groupBy(id_col)
-        .agg(
-            F.sort_array(F.collect_list("tid")).alias(out_col),
-            F.sum("idf").alias("__wt"),
+        .agg(F.array_sort(F.collect_list(F.struct("tid", "idf"))).alias("__p"))
+        .select(
+            id_col,
+            F.transform("__p", lambda x: x["tid"]).alias(out_col),
+            F.transform("__p", lambda x: x["idf"]).alias("__idfs"),
         )
     )
-    out = df.join(enc, id_col, "left").withColumn(
-        out_col,
-        F.coalesce(F.col(out_col), F.array().cast("array<int>")),
-    ).withColumn(out_col, F.col(out_col).cast("array<int>"))
+    out = (
+        df.join(enc, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>")))
+        .withColumn(out_col, F.col(out_col).cast("array<int>"))
+        .withColumn("__idfs", F.coalesce(F.col("__idfs"), F.array().cast("array<double>")))
+    )
     if weight_col is not None:
-        out = out.withColumn(weight_col, F.coalesce(F.col("__wt"), F.lit(0.0)))
-    return out.drop("__wt")
+        out = out.withColumn(
+            weight_col,
+            F.aggregate("__idfs", F.lit(0.0), lambda acc, x: acc + x),
+        )
+    if idfs_col is not None:
+        out = out.withColumnRenamed("__idfs", idfs_col)
+    else:
+        out = out.drop("__idfs")
+    return out
 
 
 def idf_weight(tokens: Column, idf_map: Column) -> Column:

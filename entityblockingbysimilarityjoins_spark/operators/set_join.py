@@ -107,29 +107,42 @@ def _prepare(
     weighted: bool,
     broadcast_dict: bool,
 ) -> DataFrame:
-    """(sid, rid, tids, len[, wt, idf_map]) with empties dropped (DROP_EMPTY).
+    """(sid, rid, tids, len[, wt, idf_map, suffixs]) with empties dropped
+    (DROP_EMPTY).
 
     ``sid`` is a long surrogate so ordering/tie-breaks ride on 8-byte keys;
-    persisted so the assignment is stable across reuses."""
+    persisted so the assignment is stable across reuses. The weighted extras
+    are pure projections over the (tids, idfs) arrays the encode step already
+    carries — no additional shuffle:
+    - ``idf_map``: map_from_arrays(tids, idfs), the O(1) lookup the fused
+      verification sums over the intersection;
+    - ``suffixs``: suffixs[p] = sum(idfs[p:]), a reverse prefix-sum scan
+      (aggregate HOF), feeding the weight-based prefix membership tests."""
     slim = df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
     enc = encode_tokens(
         slim, dictionary, id_col="rid", tokens_col="toks",
         weight_col="wt" if weighted else None, broadcast_dict=broadcast_dict,
+        idfs_col="idfs" if weighted else None,
     ).drop("toks")
     enc = enc.filter(F.size("tids") > 0).withColumn("len", F.size("tids"))
     enc = enc.withColumn("sid", F.monotonically_increasing_id())
     if weighted:
-        # per-record token->idf map so weighted overlap verifies natively
-        d = dictionary.select("tid", "idf")
-        if broadcast_dict:
-            d = F.broadcast(d)
-        m = (
-            enc.select("rid", F.explode("tids").alias("tid"))
-            .join(d, "tid")
-            .groupBy("rid")
-            .agg(F.map_from_arrays(F.collect_list("tid"), F.collect_list("idf")).alias("idf_map"))
-        )
-        enc = enc.join(m, "rid")
+        enc = enc.withColumn("idf_map", F.map_from_arrays("tids", "idfs"))
+        enc = enc.withColumn(
+            "suffixs",
+            F.reverse(
+                F.aggregate(
+                    F.reverse("idfs"),
+                    F.struct(F.lit(0.0).alias("s"),
+                             F.array().cast("array<double>").alias("o")),
+                    lambda acc, x: F.struct(
+                        (acc["s"] + x).alias("s"),
+                        F.array_append(acc["o"], acc["s"] + x).alias("o"),
+                    ),
+                    lambda acc: acc["o"],
+                )
+            ),
+        ).drop("idfs")
     return enc.persist()
 
 
@@ -169,26 +182,22 @@ def _entries(
         e = enc.select(*cols).withColumn(f"short{side}",
                                          F.col(f"pos{side}") < F.col(f"short{side}"))
     else:
+        # suffix weights ride the pre-computed per-record scan (suffixs) —
+        # one posexplode, zero joins, zero windows
         cols = [
             F.col("sid").alias(f"sid{side}"),
             F.col("rid").alias(f"rid{side}"),
             F.col("tids").alias(f"t{side}"),
             F.col("len").alias(f"len{side}"),
             F.col("wt").alias(f"w{side}"),
-            F.posexplode("tids").alias(f"pos{side}", "tok"),
         ]
         if side == "1":
             cols.append(F.col("idf_map"))
-        e = enc.select(*cols)
-        d = dictionary.select(F.col("tid").alias("tok"), "idf")
-        if broadcast_dict:
-            d = F.broadcast(d)
-        e = e.join(d, "tok")
-        # suffix weight S(p): sum of idf at positions >= p (tokens are
-        # rarest-first so S is the tail of the weight-descending order)
-        w_win = Window.partitionBy(f"sid{side}").orderBy(F.desc(f"pos{side}")) \
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        e = e.withColumn(f"suffix{side}", F.sum("idf").over(w_win)).drop("idf")
+        cols.append(F.posexplode(F.arrays_zip("tids", "suffixs")).alias(f"pos{side}", "__z"))
+        e = enc.select(*cols).withColumns({
+            "tok": F.col("__z.tids"),
+            f"suffix{side}": F.col("__z.suffixs"),
+        }).drop("__z")
         e = e.filter(F.col(f"suffix{side}") >= F.lit(f) * F.col(f"w{side}") - F.lit(_EPS))
         e = e.withColumn(
             f"short{side}",
