@@ -16,7 +16,6 @@ by ``audit_text_identity``.
 from __future__ import annotations
 
 import logging
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,25 +77,6 @@ def derive_attrs(pages: DataFrame) -> DataFrame:
     )
 
 
-class _Stages:
-    """Parquet-backed stage checkpointing: skip stages whose output exists."""
-
-    def __init__(self, spark: SparkSession, root: str | None):
-        self.spark, self.root = spark, root
-
-    def run(self, name: str, fn) -> DataFrame:
-        if self.root is None:
-            return fn()
-        path = os.path.join(self.root, name)
-        marker = os.path.join(path, "_SUCCESS")
-        if os.path.exists(marker):
-            log.info("stage %s: resuming from checkpoint %s", name, path)
-            return self.spark.read.parquet(path)
-        df = fn()
-        df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
-
-
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -104,8 +84,10 @@ def run_pipeline(
     config: PipelineConfig | None = None,
 ) -> dict:
     """Returns dict with rules, model, candidates, matches, clusters, metrics."""
+    from .checkpoint import StageCheckpointer
+
     cfg = config or PipelineConfig()
-    stages = _Stages(spark, cfg.checkpoint_dir)
+    stages = StageCheckpointer(spark, cfg.checkpoint_dir, config_fingerprint=repr(cfg))
     idc = cfg.id_col
     if "id1" not in gold.columns:  # accept gold(url1, url2) per FIXTURES F2
         c1, c2 = gold.columns[:2]
@@ -148,7 +130,7 @@ def run_pipeline(
              len(rules), uncovered, rules)
 
     # E2c: block
-    candidates = stages.run("blk_res", lambda: block_self(records, idc, rules))
+    candidates = stages.run("blk_res", lambda: block_self(records, idc, rules), inputs=("sample_res",))
 
     # E3: features on candidates + RF predict
     cand_feats = extract_features(
@@ -156,7 +138,7 @@ def run_pipeline(
     )
     predicted = stages.run("match_res", lambda: apply_matcher(
         cand_feats, model, threshold=cfg.match_threshold
-    ).select("id1", "id2", "match_proba", "match"))
+    ).select("id1", "id2", "match_proba", "match"), inputs=("blk_res",))
 
     matches = predicted.filter(F.col("match")).select("id1", "id2")
 
@@ -176,10 +158,10 @@ def run_pipeline(
         matches = stages.run("match_res_ic", lambda: rematch_negatives(
             predicted, records, idc, features, model, groups_per_attr,
             threshold=cfg.match_threshold,
-        ))
+        ), inputs=("match_res",))
 
     # E4: transitive clustering
-    clusters = stages.run("clusters", lambda: cluster_pairs(matches))
+    clusters = stages.run("clusters", lambda: cluster_pairs(matches), inputs=("match_res",))
 
     n_rows = records.count()
     final_predicted = (
