@@ -35,7 +35,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # single-JVM local mode: the "driver" heap is also every executor's
+        # heap — 8g GC-thrashes 32-thread shuffles at bench scale
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions",
                 "-XX:+UseParallelGC -Djava.net.preferIPv6Addresses=false")
