@@ -28,13 +28,17 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 
+from pyspark.sql import Window
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
+    # per-u min neighbor via a window over the same shuffle the join would
+    # need anyway — one exchange instead of groupBy + join (two)
     sym = edges.select(F.col("u"), F.col("v")).unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    w = Window.partitionBy("u")
+    starred = sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
     return (
-        sym.join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
+        starred.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
@@ -44,11 +48,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
-    joined = directed.join(mins, "u")
+    w = Window.partitionBy("u")
+    joined = directed.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
     a = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-    b = joined.select(F.col("u"), F.col("m").alias("v")).distinct()
+    b = joined.select(F.col("u"), F.col("m").alias("v"))
     return a.unionAll(b).distinct()
 
 

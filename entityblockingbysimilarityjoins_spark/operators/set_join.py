@@ -273,14 +273,37 @@ def set_similarity_self_join(
     broadcast_dict: bool = True,
     max_token_freq: int | None = None,
     sim_col: str = "sim",
+    group_identical: bool = True,
 ) -> DataFrame:
-    """All pairs (id1 < id2) with sim(tokens) >= threshold. See module doc."""
+    """All pairs (id1 < id2) with sim(tokens) >= threshold. See module doc.
+
+    ``group_identical``: records with IDENTICAL token sets join as ONE
+    set-level row (the reference's group/cluster trick,
+    ``cpp/feature/feature_index.cc`` grouping) — the quadratic join runs
+    over distinct sets only, then pairs expand from the member lists:
+    cross-set pairs inherit the verified set-level sim, intra-set pairs are
+    sim = 1.0 by identity. On web corpora (boilerplate-heavy, duplicate
+    pages) this shrinks the join input massively and makes the final
+    dedup-shuffle unnecessary (set pairs are disjoint by construction)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     if dictionary is None:
         dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
     enc = _prepare(df, id_col, tokens_col, dictionary, weighted, broadcast_dict)
-    e = _entries(enc, "1", sim, threshold, weighted, max_token_freq, dictionary,
+    if group_identical:
+        keep = ["len"] + (["wt", "idf_map", "suffixs"] if weighted else [])
+        groups = (
+            enc.groupBy("tids")
+            .agg(F.collect_list("rid").alias("members"),
+                 *[F.first(c).alias(c) for c in keep])
+            .withColumn("sid", F.monotonically_increasing_id())
+            .withColumn("rid", F.col("sid"))
+            .persist()
+        )
+        work = groups
+    else:
+        work = enc
+    e = _entries(work, "1", sim, threshold, weighted, max_token_freq, dictionary,
                  broadcast_dict)
     a = e.filter(F.col("short1"))
     b_renames = {"sid1": "sid2", "rid1": "rid2", "t1": "t2", "len1": "len2",
@@ -293,7 +316,30 @@ def set_similarity_self_join(
         (F.col(m1) < F.col(m2))
         | ((F.col(m1) == F.col(m2)) & (F.col("sid1") < F.col("sid2")))
     )
-    return _fused_verify(joined, sim, threshold, weighted, sim_col, canonicalize=True)
+    verified = _fused_verify(joined, sim, threshold, weighted, sim_col,
+                             canonicalize=True)
+    if not group_identical:
+        return verified
+    # expand set-level pairs back to record pairs; no dedup shuffle needed —
+    # each unordered record pair descends from exactly one set(-pair)
+    g1 = groups.select(F.col("rid").alias("id1"), F.col("members").alias("m1"))
+    g2 = groups.select(F.col("rid").alias("id2"), F.col("members").alias("m2"))
+    cross = (
+        verified.join(g1, "id1").join(g2, "id2")
+        .withColumn("a", F.explode("m1"))
+        .withColumn("b", F.explode("m2"))
+        .select(F.least("a", "b").alias("id1"), F.greatest("a", "b").alias("id2"),
+                sim_col)
+    )
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("id1"), F.col("b").alias("id2"),
+                F.lit(1.0).alias(sim_col))
+    )
+    return cross.unionByName(intra)
 
 
 def set_similarity_rs_join(

@@ -50,8 +50,13 @@ def topk_via_ta(
     """K1: global top-K candidate pairs by the 4-sim TA score (self or RS)."""
     scored = attach_pair_tokens(pairs, tokens_df, id_col, tokens_col).withColumn(
         score_col, ta_score(F.col("__t1"), F.col("__t2"))
-    ).drop("__t1", "__t2")
-    return scored.orderBy(F.desc(score_col), F.asc("id1"), F.asc("id2")).limit(k)
+    )
+    other = [c for c in pairs.columns if c not in ("id1", "id2")]
+    return (
+        scored.select("id1", "id2", *other, score_col)
+        .orderBy(F.desc(score_col), F.asc("id1"), F.asc("id2"))
+        .limit(k)
+    )
 
 
 def topk_by_weighted_score(
