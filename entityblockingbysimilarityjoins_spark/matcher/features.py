@@ -175,9 +175,9 @@ def extract_features(
                    *[F.col(c).alias(f"l_{c}") for c in side_cols])
     r = rec.select(F.col(id_col).alias("id2"),
                    *[F.col(c).alias(f"r_{c}") for c in side_cols])
-    # shuffle_hash: the tokenized payload side is wide (token arrays) — a
-    # broadcast would funnel it through the driver single-threaded
-    payload = pairs.join(l.hint("shuffle_hash"), "id1").join(r.hint("shuffle_hash"), "id2")
+    # no join hint: Catalyst broadcasts the record payload while it fits
+    # and falls back to sort-merge (AQE skew-aware) beyond that
+    payload = pairs.join(l, "id1").join(r, "id2")
 
     cols = [F.col("id1"), F.col("id2"), *[F.col(c) for c in keep_cols]]
     for feat in features:

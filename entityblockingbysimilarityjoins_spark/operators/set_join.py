@@ -31,7 +31,9 @@ Scale levers (north_rule: "salted, skew-aware inverted-index self-join"):
 - ``max_token_freq`` optionally drops ultra-hot tokens from candidate
   generation (LIMIT_INV_SIZE/MAX_INV_SIZE valve, config.h:109-110) —
   logged, recall caveat, off by default;
-- no driver-side broadcast of token-array payloads (shuffle_hash joins).
+- join strategy left to Catalyst/AQE: small prefix-entry tables broadcast
+  (map-side join, zero shuffle); large ones sort-merge with AQE's skew
+  split handling hot prefix tokens.
 """
 
 from __future__ import annotations
@@ -312,7 +314,11 @@ def set_similarity_self_join(
     # the indexing (short) prefix applies to the pair's smaller side —
     # smaller by token count (unweighted) / record weight (weighted)
     m1, m2 = ("w1", "w2") if weighted else ("len1", "len2")
-    joined = a.join(b.hint("shuffle_hash"), "tok").filter(
+    # no join-strategy hint: with few prefix entries Catalyst broadcasts
+    # (map-side, zero shuffle); at scale it picks sort-merge, where AQE's
+    # skew-join split handles hot prefix tokens — a forced shuffle_hash both
+    # blocked the broadcast AND disabled the skew handling
+    joined = a.join(b, "tok").filter(
         (F.col(m1) < F.col(m2))
         | ((F.col(m1) == F.col(m2)) & (F.col("sid1") < F.col("sid2")))
     )
@@ -373,9 +379,9 @@ def set_similarity_rs_join(
                  broadcast_dict)
     m1, m2 = ("w1", "w2") if weighted else ("len1", "len2")
     a1 = l.filter(F.col("short1"))
-    c1 = a1.join(r.hint("shuffle_hash"), "tok").filter(F.col(m1) <= F.col(m2))
+    c1 = a1.join(r, "tok").filter(F.col(m1) <= F.col(m2))
     a2 = r.filter(F.col("short2"))
-    c2 = a2.join(l.hint("shuffle_hash"), "tok").filter(F.col(m2) < F.col(m1))
+    c2 = a2.join(l, "tok").filter(F.col(m2) < F.col(m1))
     v1 = _fused_verify(c1, sim, threshold, weighted, sim_col, canonicalize=False)
     v2 = _fused_verify(c2, sim, threshold, weighted, sim_col, canonicalize=False)
     return v1.unionByName(v2).dropDuplicates(["id1", "id2"])

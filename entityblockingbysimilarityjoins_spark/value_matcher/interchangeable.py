@@ -170,7 +170,7 @@ def extract_features_ic(
     side_cols = [c for c in rec.columns if c != id_col]
     l = rec.select(F.col(id_col).alias("id1"), *[F.col(c).alias(f"l_{c}") for c in side_cols])
     r = rec.select(F.col(id_col).alias("id2"), *[F.col(c).alias(f"r_{c}") for c in side_cols])
-    payload = pairs.join(l.hint("shuffle_hash"), "id1").join(r.hint("shuffle_hash"), "id2")
+    payload = pairs.join(l, "id1").join(r, "id2")
 
     cols = [F.col("id1"), F.col("id2")]
     for feat in features:
