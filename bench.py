@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ann_topk",
     "text_stats",
+    # round-2 additions
+    "weighted_jaccard_join",
+    "set_join_rs",
+    "ann_lsh_topk",
+    "down_sample",
 ]
 
 

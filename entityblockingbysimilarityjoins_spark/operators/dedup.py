@@ -167,7 +167,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bh"),
     )
-    l = bands_df.withColumnsRenamed({"gid": "gid1", "len": "len1"})
+    # fan-out repartition (see set_join): band buckets emit far more
+    # candidate rows than they hold — keep the probe side wide
+    par = df.sparkSession.sparkContext.defaultParallelism
+    l = bands_df.withColumnsRenamed({"gid": "gid1", "len": "len1"}).repartition(2 * par)
     rr = bands_df.withColumnsRenamed({"gid": "gid2", "len": "len2"})
     cand = (
         l.join(rr, ["band", "bh"])

@@ -60,6 +60,32 @@ def decode_image_features(df: DataFrame, fake: bool = True,
     return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, duration_sec double, sample_rate int, n_channels int, rms double"
+)
+
+
+def decode_audio_features(df: DataFrame, fake: bool = True,
+                          payload_col: str = "payload") -> DataFrame:
+    """Audio decode + summary features as a mapInPandas stage (stubbed decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decoding requires librosa/ffmpeg — not in this container"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+                rows.append((int(mid), 1.0 + h[0] / 8.0, 16000 * (1 + h[1] % 3),
+                             1 + h[2] % 2, h[3] / 255.0))
+            yield pd.DataFrame(rows, columns=["media_id", "duration_sec",
+                                              "sample_rate", "n_channels", "rms"])
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(df: DataFrame, n_frames: int = 4, fake: bool = True,
                         payload_col: str = "payload") -> DataFrame:
     """Frame sampling: one output row per sampled frame (flatMap shape)."""

@@ -56,7 +56,10 @@ def overlap_self_join(
         dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
     singletons = dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid"))
     enc = _prep(df, id_col, tokens_col, c, dictionary, broadcast_dict).persist()
-    l = _prefix(enc, c, "1", singletons)
+    # fan-out repartition (see set_join): prefix entries are tiny relative
+    # to the candidate pairs the join emits
+    par = df.sparkSession.sparkContext.defaultParallelism
+    l = _prefix(enc, c, "1", singletons).repartition(2 * par)
     r = _prefix(enc, c, "2", singletons)
     cand = (
         l.join(r, (l["tok"] == r["tok"]) & (F.col("rid1") < F.col("rid2")))

@@ -307,7 +307,12 @@ def set_similarity_self_join(
         work = enc
     e = _entries(work, "1", sim, threshold, weighted, max_token_freq, dictionary,
                  broadcast_dict)
-    a = e.filter(F.col("short1"))
+    # fan-out repartition: the probe-entry table is small relative to the
+    # candidates the join EMITS (output explosion); without this, AQE
+    # right-sizes partitions to the tiny input and the whole verify stage
+    # runs in a couple of tasks no matter how many cores exist
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = e.filter(F.col("short1")).repartition(2 * par)
     b_renames = {"sid1": "sid2", "rid1": "rid2", "t1": "t2", "len1": "len2",
                  "short1": "short2", "pos1": "pos2", "w1": "w2", "suffix1": "suffix2"}
     b = e.drop("idf_map").withColumnsRenamed(b_renames)
@@ -378,9 +383,12 @@ def set_similarity_rs_join(
     r = _entries(right, "2", sim, threshold, weighted, max_token_freq, dictionary,
                  broadcast_dict)
     m1, m2 = ("w1", "w2") if weighted else ("len1", "len2")
-    a1 = l.filter(F.col("short1"))
+    # fan-out repartition: see the self join — the probe side must be wide
+    # enough for the candidate-explosion stage to use the cluster
+    par = df_r.sparkSession.sparkContext.defaultParallelism
+    a1 = l.filter(F.col("short1")).repartition(2 * par)
     c1 = a1.join(r, "tok").filter(F.col(m1) <= F.col(m2))
-    a2 = r.filter(F.col("short2"))
+    a2 = r.filter(F.col("short2")).repartition(2 * par)
     c2 = a2.join(l, "tok").filter(F.col(m2) < F.col(m1))
     v1 = _fused_verify(c1, sim, threshold, weighted, sim_col, canonicalize=False)
     v2 = _fused_verify(c2, sim, threshold, weighted, sim_col, canonicalize=False)

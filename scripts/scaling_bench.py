@@ -59,8 +59,16 @@ ATTR_TYPES = {"title": "str_bt_5w_10w", "body": "str_bt_5w_10w", "lang": "str_eq
 def main() -> None:
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # honest N-core simulation: cap the GC worker pool at the task-slot
+    # count — otherwise a local[4] JVM still collects with all machine
+    # cores and the low-parallelism run looks faster than a 4-core node
     spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=2 * cpus)
+                      shuffle_partitions=2 * cpus,
+                      extra_conf={
+                          "spark.driver.extraJavaOptions":
+                              f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cpus, 2)} "
+                              "-Djava.net.preferIPv6Addresses=false",
+                      })
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---- setup (untimed): corpus + a trained matcher ----

@@ -103,6 +103,11 @@ def test_multimodal_plumbing(spark):
         sorted((r["media_id"], r["phash"]) for r in out)
     frames = sample_video_frames(df, n_frames=3, fake=True)
     assert frames.count() == 30
+    from entityblockingbysimilarityjoins_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+    audio = decode_audio_features(df, fake=True).collect()
+    assert len(audio) == 10 and all(r["sample_rate"] >= 16000 for r in audio)
     with pytest.raises(Exception):
         decode_image_features(df, fake=False).collect()
 
