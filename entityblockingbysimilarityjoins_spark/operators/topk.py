@@ -35,8 +35,19 @@ def attach_pair_tokens(pairs: DataFrame, tokens_df: DataFrame, id_col: str = "ri
 
 
 def ta_score(t1: Column, t2: Column) -> Column:
-    """Sum of the four TA similarities (row upper bound in topk.cc:588-613)."""
-    return sum(S.SET_SIMS[name](t1, t2) for name in TA_SIMS)
+    """Sum of the four TA similarities (row upper bound in topk.cc:588-613).
+
+    One ``array_intersect`` evaluation; all four sims derive from the shared
+    (o, |a|, |b|) triple — identical values to summing S.SET_SIMS, 4x less
+    intersection work per candidate."""
+    o = F.size(F.array_intersect(t1, t2)).cast("double")
+    l1 = F.size(t1).cast("double")
+    l2 = F.size(t2).cast("double")
+    jac = F.when(l1 + l2 - o > 0, o / (l1 + l2 - o)).otherwise(F.lit(0.0))
+    cos = F.when(l1 * l2 > 0, o / F.sqrt(l1 * l2)).otherwise(F.lit(0.0))
+    dice = F.when(l1 + l2 > 0, F.lit(2.0) * o / (l1 + l2)).otherwise(F.lit(0.0))
+    oc = F.when(F.least(l1, l2) > 0, o / F.least(l1, l2)).otherwise(F.lit(0.0))
+    return jac + cos + dice + oc
 
 
 def topk_via_ta(
