@@ -193,28 +193,38 @@ def ann_lsh_topk(
 
     Planes come from ``md5_planes`` — bit-for-bit reproducible in SQL, so
     the full approximate pipeline (bucketing included) has a DuckDB oracle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     q = _prep(queries, id_col, emb_col, "query").persist()
     c = _prep(corpus, id_col, emb_col, "neighbor").persist()
     if dim is None:
         dim = len(q.select("query_e").first()["query_e"])
     planes = md5_planes(seed, n_bands * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def _band_sigs(emb):
+        # one matmul per Arrow batch: (B, dim) @ (dim, bands*planes) -> signs
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (M @ planes.T >= 0).reshape(len(M), n_bands, n_planes)
+        vals = (bits * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(vals))
+
+    _band_sigs.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    band_udf = pandas_udf(_band_sigs, "array<long>")
+
+    def _cos_batch(a, b):
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    _cos_batch.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    dot_udf = pandas_udf(_cos_batch, "double")
 
     def sig(df: DataFrame, side: str) -> DataFrame:
-        band_cols = []
-        for band in range(n_bands):
-            acc = F.lit(0)
-            for p in range(n_planes):
-                w = planes[band * n_planes + p]
-                proj = F.aggregate(
-                    F.zip_with(F.col(f"{side}_e"), F.array(*[F.lit(float(x)) for x in w]),
-                               lambda x, y: x * y),
-                    F.lit(0.0), lambda a_, v: a_ + v)
-                acc = acc + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            band_cols.append(acc.alias(f"__b{band}"))
-        s = df.select(f"{side}_id", f"{side}_e", f"{side}_n", *band_cols)
-        return s.select(
+        return df.select(
             f"{side}_id", f"{side}_e", f"{side}_n",
-            F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(n_bands)])).alias("band", "bv"),
+            F.posexplode(band_udf(F.col(f"{side}_e"))).alias("band", "bv"),
         )
 
     qs = sig(q, "query")
@@ -223,6 +233,7 @@ def ann_lsh_topk(
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn(
-        "cos", _dot(F.col("query_e"), F.col("neighbor_e")) / (F.col("query_n") * F.col("neighbor_n"))
+        "cos",
+        dot_udf(F.col("query_e"), F.col("neighbor_e")) / (F.col("query_n") * F.col("neighbor_n")),
     )
     return _topk(scored, k)
