@@ -101,6 +101,17 @@ def _min_weighted_overlap(sim: str, t: float, w1: Column, w2: Column) -> Column:
     return F.lit(t / 2.0) * s
 
 
+def _idf_literal(dictionary: DataFrame, weighted: bool, broadcast_dict: bool) -> Column | None:
+    """Global tid->idf lookup as an array literal (tids are dense 0..V-1).
+
+    Only under broadcast_dict=True — the same regime where the dictionary
+    already fits driver memory for the encode-side broadcast."""
+    if not (weighted and broadcast_dict):
+        return None
+    rows = dictionary.select("tid", "idf").orderBy("tid").collect()
+    return F.lit([float(r["idf"]) for r in rows])
+
+
 def _prepare(
     df: DataFrame,
     id_col: str,
@@ -109,15 +120,22 @@ def _prepare(
     weighted: bool,
     broadcast_dict: bool,
 ) -> DataFrame:
-    """(sid, rid, tids, len[, wt, idf_map, suffixs]) with empties dropped
+    """(sid, rid, tids, len[, wt, tw, suffixs]) with empties dropped
     (DROP_EMPTY).
 
     ``sid`` is a long surrogate so ordering/tie-breaks ride on 8-byte keys;
     persisted so the assignment is stable across reuses. The weighted extras
     are pure projections over the (tids, idfs) arrays the encode step already
     carries — no additional shuffle:
-    - ``idf_map``: map_from_arrays(tids, idfs), the O(1) lookup the fused
-      verification sums over the intersection;
+    - weighted verification sums idf over the int-array intersection by
+      indexing a GLOBAL tid->idf literal array (idf is a pure function of
+      tid): array ``get`` is O(1). The alternatives both measured badly on
+      dense corpora: a per-record tid->idf map (element_at on MapData is a
+      linear scan -> O(|inter| x |map|) per candidate, 4x slower) and
+      (tid, idf) struct arrays (array_intersect falls off the specialized
+      atomic-type fast path into a nested loop, 10x slower). When the
+      dictionary is too large to inline (broadcast_dict=False), the
+      per-record map path is used instead;
     - ``suffixs``: suffixs[p] = sum(idfs[p:]), a reverse prefix-sum scan
       (aggregate HOF), feeding the weight-based prefix membership tests."""
     slim = df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
@@ -129,7 +147,8 @@ def _prepare(
     enc = enc.filter(F.size("tids") > 0).withColumn("len", F.size("tids"))
     enc = enc.withColumn("sid", F.monotonically_increasing_id())
     if weighted:
-        enc = enc.withColumn("idf_map", F.map_from_arrays("tids", "idfs"))
+        if not broadcast_dict:
+            enc = enc.withColumn("idf_map", F.map_from_arrays("tids", "idfs"))
         enc = enc.withColumn(
             "suffixs",
             F.reverse(
@@ -193,7 +212,7 @@ def _entries(
             F.col("len").alias(f"len{side}"),
             F.col("wt").alias(f"w{side}"),
         ]
-        if side == "1":
+        if not broadcast_dict and side == "1":
             cols.append(F.col("idf_map"))
         cols.append(F.posexplode(F.arrays_zip("tids", "suffixs")).alias(f"pos{side}", "__z"))
         e = enc.select(*cols).withColumns({
@@ -215,13 +234,19 @@ def _entries(
     return e
 
 
-def _sim_value(sim: str, weighted: bool) -> Column:
+def _sim_value(sim: str, weighted: bool, idf_arr: Column | None = None) -> Column:
     t1, t2 = F.col("t1"), F.col("t2")
     if weighted:
-        wo = F.aggregate(
-            F.array_intersect(t1, t2), F.lit(0.0),
-            lambda acc, t: acc + F.element_at(F.col("idf_map"), t),
-        )
+        if idf_arr is not None:
+            wo = F.aggregate(
+                F.array_intersect(t1, t2), F.lit(0.0),
+                lambda acc, t: acc + F.get(idf_arr, t),
+            )
+        else:
+            wo = F.aggregate(
+                F.array_intersect(t1, t2), F.lit(0.0),
+                lambda acc, t: acc + F.element_at(F.col("idf_map"), t),
+            )
         w1, w2 = F.col("w1"), F.col("w2")
         if sim == "jac":
             return wo / (w1 + w2 - wo)
@@ -238,7 +263,8 @@ def _sim_value(sim: str, weighted: bool) -> Column:
 
 
 def _fused_verify(joined: DataFrame, sim: str, threshold: float, weighted: bool,
-                  sim_col: str, canonicalize: bool) -> DataFrame:
+                  sim_col: str, canonicalize: bool,
+                  idf_arr: Column | None = None) -> DataFrame:
     """length + positional filters and inline similarity verification —
     all inside the join's codegen stage; no candidate materialization."""
     f = _prefix_factor(sim, threshold)
@@ -255,7 +281,7 @@ def _fused_verify(joined: DataFrame, sim: str, threshold: float, weighted: bool,
         ub = F.lit(1) + F.least(F.col("len1") - F.col("pos1") - 1,
                                 F.col("len2") - F.col("pos2") - 1)
         j = j.filter(ub >= _min_overlap(sim, threshold, F.col("len1"), F.col("len2")))
-    j = j.withColumn(sim_col, _sim_value(sim, weighted)).filter(F.col(sim_col) >= threshold)
+    j = j.withColumn(sim_col, _sim_value(sim, weighted, idf_arr)).filter(F.col(sim_col) >= threshold)
     if canonicalize:
         out = j.select(F.least("rid1", "rid2").alias("id1"),
                        F.greatest("rid1", "rid2").alias("id2"), sim_col)
@@ -293,7 +319,9 @@ def set_similarity_self_join(
         dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
     enc = _prepare(df, id_col, tokens_col, dictionary, weighted, broadcast_dict)
     if group_identical:
-        keep = ["len"] + (["wt", "idf_map", "suffixs"] if weighted else [])
+        keep = ["len"] + (["wt", "suffixs"] if weighted else [])
+        if weighted and not broadcast_dict:
+            keep.append("idf_map")
         groups = (
             enc.groupBy("tids")
             .agg(F.collect_list("rid").alias("members"),
@@ -328,7 +356,8 @@ def set_similarity_self_join(
         | ((F.col(m1) == F.col(m2)) & (F.col("sid1") < F.col("sid2")))
     )
     verified = _fused_verify(joined, sim, threshold, weighted, sim_col,
-                             canonicalize=True)
+                             canonicalize=True,
+                             idf_arr=_idf_literal(dictionary, weighted, broadcast_dict))
     if not group_identical:
         return verified
     # expand set-level pairs back to record pairs; no dedup shuffle needed —
@@ -377,7 +406,6 @@ def set_similarity_rs_join(
         dictionary = build_dictionary(union)
     left = _prepare(df_r, id_col, tokens_col, dictionary, weighted, broadcast_dict)
     right = _prepare(df_s, id_col, tokens_col, dictionary, weighted, broadcast_dict)
-    # idf_map rides the side-1 entries; both branches join against them
     l = _entries(left, "1", sim, threshold, weighted, max_token_freq, dictionary,
                  broadcast_dict)
     r = _entries(right, "2", sim, threshold, weighted, max_token_freq, dictionary,
@@ -390,6 +418,9 @@ def set_similarity_rs_join(
     c1 = a1.join(r, "tok").filter(F.col(m1) <= F.col(m2))
     a2 = r.filter(F.col("short2")).repartition(2 * par)
     c2 = a2.join(l, "tok").filter(F.col(m2) < F.col(m1))
-    v1 = _fused_verify(c1, sim, threshold, weighted, sim_col, canonicalize=False)
-    v2 = _fused_verify(c2, sim, threshold, weighted, sim_col, canonicalize=False)
+    idf_arr = _idf_literal(dictionary, weighted, broadcast_dict)
+    v1 = _fused_verify(c1, sim, threshold, weighted, sim_col, canonicalize=False,
+                       idf_arr=idf_arr)
+    v2 = _fused_verify(c2, sim, threshold, weighted, sim_col, canonicalize=False,
+                       idf_arr=idf_arr)
     return v1.unionByName(v2).dropDuplicates(["id1", "id2"])

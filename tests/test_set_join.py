@@ -127,6 +127,19 @@ def test_weighted_jaccard_matches_bruteforce(spark):
         assert r["sim"] == pytest.approx(wjac(s[r["id1"]], s[r["id2"]]), abs=1e-9)
 
 
+def test_weighted_map_path_equals_literal_path(spark):
+    # broadcast_dict=False exercises the per-record idf_map verification;
+    # results must be identical to the global-literal fast path
+    rows = _corpus(seed=9, n=40)
+    df = spark.createDataFrame(rows, ["rid", "s"]).withColumn("tokens", tokens_dlm("s"))
+    fast = {(r["id1"], r["id2"]): round(r["sim"], 9) for r in
+            set_similarity_self_join(df, "rid", "tokens", "jac", 0.6, weighted=True).collect()}
+    slow = {(r["id1"], r["id2"]): round(r["sim"], 9) for r in
+            set_similarity_self_join(df, "rid", "tokens", "jac", 0.6, weighted=True,
+                                     broadcast_dict=False).collect()}
+    assert fast == slow and len(fast) > 0
+
+
 def test_empty_sets_never_join(spark):
     df = spark.createDataFrame([(0, ""), (1, ""), (2, "a b")], ["rid", "s"]).withColumn(
         "tokens", tokens_dlm("s")
