@@ -35,6 +35,7 @@ from .exact_join import (
 )
 from .overlap_join import overlap_rs_join, overlap_self_join
 from .set_join import set_similarity_rs_join, set_similarity_self_join
+from .topk import cap_pairs
 
 log = logging.getLogger(__name__)
 
@@ -129,11 +130,24 @@ def _prune_degenerate_lev(rules: list[Rule]) -> list[Rule]:
     return out
 
 
+def _cap_rule_pairs(pairs: DataFrame, df: DataFrame, id_col: str, rule: Rule,
+                    cache: _TokenCache, max_pairs: int) -> DataFrame:
+    """K4: per-rule result cap (reference MAX_PAIR_SIZE heap per joiner,
+    config.h:44): when a rule floods, keep its TA-top-K pairs instead of
+    everything. Token sets for the TA score come from the rule's own
+    tokenizer (dlm fallback for character/numeric rules — pretopK convention,
+    blocker_util.cc:111-149)."""
+    tok_rule = rule if rule.tok else Rule(rule.attr, "jac", "dlm", None, 0.0)
+    toks = cache.tokens(df, id_col, tok_rule)
+    return cap_pairs(pairs, toks, max_pairs, id_col=id_col)
+
+
 def block_self(
     df: DataFrame,
     id_col: str,
     rules: list[Rule],
     weighted: bool = False,
+    max_pairs_per_rule: int | None = None,
 ) -> DataFrame:
     """Union of all rules' pair sets: (id1, id2, rules_passed), id1 < id2."""
     rules = _prune_degenerate_lev(rules)
@@ -141,6 +155,9 @@ def block_self(
         raise ValueError("no blocking rules")
     cache = _TokenCache()
     per_rule = [_run_rule_self(df, id_col, r, cache, weighted) for r in rules]
+    if max_pairs_per_rule is not None:
+        per_rule = [_cap_rule_pairs(p, df, id_col, r, cache, max_pairs_per_rule)
+                    for p, r in zip(per_rule, rules)]
     allpairs = per_rule[0]
     for p in per_rule[1:]:
         allpairs = allpairs.unionByName(p)

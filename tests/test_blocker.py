@@ -101,3 +101,19 @@ def test_rules_roundtrip(tmp_path):
 def test_parse_rule_line():
     r = parse_rule_line("title_title_jac_dlm_dc0_dlm_dc0 + 0.8")
     assert (r.attr, r.sim, r.tok, r.threshold, r.sign) == ("title", "jac", "dlm", 0.8, "+")
+
+
+def test_block_self_per_rule_cap(spark):
+    # K4: a flooding rule is capped at its TA-top-K (MAX_PAIR_SIZE analogue)
+    from entityblockingbysimilarityjoins_spark.operators.blocker import block_self
+    from entityblockingbysimilarityjoins_spark.sources.rules import Rule
+
+    rows = [(i, f"tok{i%3} tok{(i+1)%3} shared common words here") for i in range(30)]
+    df = spark.createDataFrame(rows, ["rid", "text"])
+    rules = [Rule("text", "jac", "dlm", None, 0.3)]
+    full = block_self(df, "rid", rules)
+    capped = block_self(df, "rid", rules, max_pairs_per_rule=10)
+    assert full.count() > 10
+    assert capped.count() == 10
+    # capped output is a subset of the full pair set
+    assert capped.join(full, ["id1", "id2"], "left_anti").count() == 0
