@@ -19,6 +19,8 @@
   ``blk_tau`` (overlap join when blk_tau >= 1), capped, quality-checked
   against gold with ``get_stat`` (recall, density); density <= 0.1 triggers
   the 2-step re-verification — 3-gram Jaccard >= ``step2_tau`` per pair.
+- ``pre_sample``: P6 preSample (``sample.cc:320-460``) — gold positives +
+  every >= 1-shared-token pair as negatives, Megallen-labeled.
 - ``build_training_sample``: Megallen-style labeled sample_res (FIXTURES F3):
   low-threshold candidates labeled by the gold graph + seeded random
   negatives, balanced-ish (random_forest.py:132-175 conventions).
@@ -36,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokens_qgram
 from .connected_components import connected_components
-from .overlap_join import overlap_rs_join
+from .overlap_join import overlap_rs_join, overlap_self_join
 from .set_join import set_similarity_rs_join, set_similarity_self_join
 
 #: reference Sample::CLUSTER_SAMPLE_SIZE (sample.cc:7)
@@ -229,6 +231,27 @@ def cluster_sample_rs(
         if density <= density_floor:
             cand = step2_sample(cand, df_r, df_s, id_col, attr_col, step2_tau)
     return cand.withColumn("label", F.lit(0))
+
+
+def pre_sample(
+    df_z: DataFrame,
+    gold: DataFrame,
+    id_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """P6 preSample (``sample.cc:320-460``): labeled sample over a sampled
+    table Z — positives = the gold pairs Y (label 1), negatives = every
+    canonical pair sharing >= 1 dlm token of ``attr_col`` that is not in Y
+    (label 0). Returns (id1, id2, label)."""
+    from ..functions.tokenize import tokens_dlm
+
+    toks = df_z.select(F.col(id_col).alias("rid"),
+                       tokens_dlm(F.col(attr_col)).alias("tokens"))
+    cand = overlap_self_join(toks, "rid", "tokens", c=1).select("id1", "id2")
+    g = gold.select("id1", "id2")
+    neg = cand.join(g, ["id1", "id2"], "left_anti").withColumn("label", F.lit(0))
+    pos = g.withColumn("label", F.lit(1))
+    return pos.unionByName(neg)
 
 
 def build_training_sample(

@@ -117,3 +117,16 @@ def test_block_self_per_rule_cap(spark):
     assert capped.count() == 10
     # capped output is a subset of the full pair set
     assert capped.join(full, ["id1", "id2"], "left_anti").count() == 0
+
+
+def test_pre_sample(spark):
+    from entityblockingbysimilarityjoins_spark.operators.sampler import pre_sample
+
+    rows = [(1, "a b c"), (2, "a b d"), (3, "x y z"), (4, "x q r")]
+    df = spark.createDataFrame(rows, ["rid", "t"])
+    gold = spark.createDataFrame([(1, 2)], ["id1", "id2"])
+    out = {(r["id1"], r["id2"]): r["label"] for r in pre_sample(df, gold, "rid", "t").collect()}
+    assert out[(1, 2)] == 1          # gold positive
+    assert out[(3, 4)] == 0          # shares 'x', not gold
+    assert (1, 3) not in out         # no shared token
+    assert len(out) == 2
