@@ -102,6 +102,30 @@ def normalize_string(col: Column | str, strategy: int = 0) -> Column:
     return F.lower(F.rtrim(out))
 
 
+#: the reference BPE tokenizer's Chinese punctuation set
+#: (``/root/reference/cpp/common/bpe_tokenizer.cc:9-11``) — the only LIVE
+#: part of that file (the BPE merge-code application is commented out there)
+CJK_PUNCS = "。，？！；：、（）「」“”‘’《》【】—～　"
+
+
+def replace_cjk_puncs(col: Column | str, repl: str = "#") -> Column:
+    """T7 live surface: normalize CJK punctuation to a marker char
+    (bpe_tokenizer.cc:13-25 ``replacePuncs``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "[" + re.escape(CJK_PUNCS) + "]", repl)
+
+
+def tokens_cjk_char(col: Column | str) -> Column:
+    """T7 CJK tokenizer: punctuation-normalized per-character token set —
+    the practical unit for CJK strings, where whitespace tokenization
+    degenerates (the reference's ChineseTable + BPE path targets the same;
+    char granularity is its vocab-free equivalent). '#' markers and spaces
+    are dropped; set semantics like every other tokenizer here."""
+    c = replace_cjk_puncs(col)
+    chars = F.split(c, "")
+    return _finish_set(F.filter(chars, lambda t: (t != F.lit("#")) & (t != F.lit(" "))))
+
+
 #: registry used by the rule dispatcher (blocker) and feature generation
 def tokenizer(tok: str, settings: str | int | None = None):
     """Return a Column->Column tokenizer for a (tok, settings) descriptor.
@@ -118,4 +142,6 @@ def tokenizer(tok: str, settings: str | int | None = None):
         return tokens_wspace
     if tok in ("alphanumeric", "alnum"):
         return tokens_alphanumeric
+    if tok in ("cjk", "bpe"):
+        return tokens_cjk_char
     raise ValueError(f"unknown tokenizer {tok!r}")

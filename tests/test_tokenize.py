@@ -83,3 +83,20 @@ def test_null_input_yields_empty_arrays(spark):
         T.tokens_alphanumeric("s").alias("a"),
     ).collect()[0]
     assert row["d"] == [] and row["q"] == [] and row["a"] == []
+
+
+def test_cjk_tokenizer(spark):
+    from entityblockingbysimilarityjoins_spark.functions.tokenize import (
+        replace_cjk_puncs,
+        tokens_cjk_char,
+        tokenizer,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("你好，世界。你好",), ("",), (None,)], ["t"])
+    rep = [r[0] for r in df.select(replace_cjk_puncs(F.col("t"))).collect()]
+    assert rep[0] == "你好#世界#你好"
+    toks = [r[0] for r in df.select(tokens_cjk_char(F.col("t"))).collect()]
+    assert toks[0] == sorted({"你", "好", "世", "界"})
+    assert toks[1] == [] and toks[2] == []
+    assert tokenizer("cjk") is tokens_cjk_char
