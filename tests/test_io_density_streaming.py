@@ -94,3 +94,34 @@ def test_streaming_dedup(spark, tmp_path):
     rows = spark.sql("select url from dedup_out").collect()
     urls = {r["url"] for r in rows}
     assert len(urls) == 2 and "u3" in urls and len({"u1", "u2"} & urls) == 1
+
+
+def test_neardup_stream_stateful(spark, tmp_path):
+    from entityblockingbysimilarityjoins_spark.streaming.dedup_stream import (
+        neardup_stream,
+    )
+
+    src = str(tmp_path / "nd_src")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # same token SET (reordered + repeated word) -> identical signature and
+    # bucket: deterministically exercises the stateful suppression path
+    near = "kappa iota theta eta zeta epsilon delta gamma beta alpha alpha"
+    far = "completely different words everywhere nothing shared at all here now"
+    spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", base, "en"),
+         ("u2", "2024-01-01 00:01:00", near, "en"),
+         ("u3", "2024-01-01 00:02:00", far, "en")],
+        ["url", "ts", "text", "lang"],
+    ).withColumn("warc_ts", F.col("ts").cast("timestamp")).drop("ts") \
+     .write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "url string, text string, lang string, warc_ts timestamp"
+    ).parquet(src)
+    out = neardup_stream(stream, hamming_k=6)
+    q = (out.writeStream.format("memory").queryName("nd_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    urls = {r["url"] for r in spark.sql("select url from nd_out").collect()}
+    assert "u3" in urls
+    assert len({"u1", "u2"} & urls) == 1  # the near-dup pair collapsed
