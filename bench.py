@@ -48,6 +48,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
+    # untimed warmup: session/codegen/parquet-footer costs otherwise land on
+    # whichever query happens to run first
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings: dict[str, float] = {}
     candidate_pairs = 0
     t_all = time.time()
