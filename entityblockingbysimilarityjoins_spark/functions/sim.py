@@ -113,7 +113,14 @@ def weighted_overlap_coeff(a: Column, b: Column, idf_arr: Column, wa: Column, wb
     """W∩ / min(wa, wb); 1.0 when both record weights are ~0 (simfunc.cc:265-283)."""
     wo = weighted_overlap(a, b, idf_arr)
     both_zero = (F.abs(wa) < 1e-9) & (F.abs(wb) < 1e-9)
-    return F.when(both_zero, F.lit(1.0)).otherwise(wo / F.least(wa, wb))
+    # guard the one-sided-zero case too: under Spark 4 ANSI mode a bare
+    # wo/least(wa,wb) throws ArithmeticException when exactly one weight is 0
+    # (all-idf-0 tokens); degrade to 0.0 like the sibling weighted sims.
+    return (
+        F.when(both_zero, F.lit(1.0))
+        .when(F.least(wa, wb) > 0, wo / F.least(wa, wb))
+        .otherwise(F.lit(0.0))
+    )
 
 
 # ---- character-level string sims (scoring stage: Arrow-batched pandas UDFs) -

@@ -151,8 +151,9 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
         .filter(F.size("toks") > 0)
         .groupBy("toks")
-        .agg(F.collect_list("rid").alias("members"))
-        .withColumn("gid", F.monotonically_increasing_id())
+        # deterministic group key (min member id) — stable across cache loss,
+        # unlike a monotonically_increasing_id surrogate (ADVICE r2)
+        .agg(F.collect_list("rid").alias("members"), F.min("rid").alias("gid"))
         .withColumn("__h", F.transform("toks", lambda t: F.xxhash64(t)))
         .withColumn("__sig", minhash_signature(F.col("__h"), num_perm, seed))
         .persist()
@@ -402,19 +403,27 @@ def embedding_neardup_pairs(
                 bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) *
                             F.lit(1 << p))
             sig_cols.append(sum(bits[1:], bits[0]).alias(f"__b{band}"))
-        sig = base.select("rid", "e", "__n", *sig_cols)
-        bands_df = sig.select(
-            "rid", "e", "__n",
+        # id-only band join: the banded shuffle carries (rid, band, bv) ONLY —
+        # embeddings are re-attached to the deduped candidate pairs with two
+        # hash joins against the persisted base (the payload never rides the
+        # xbands explosion or the hot-bucket join output)
+        bands_df = base.select(
+            "rid", *sig_cols
+        ).select(
+            "rid",
             F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(n_bands)])).alias("band", "bv"),
-        )
-        l = bands_df.select(F.col("rid").alias("rid1"), F.col("e").alias("e1"),
-                            F.col("__n").alias("n1"), "band", "bv")
-        r = bands_df.select(F.col("rid").alias("rid2"), F.col("e").alias("e2"),
-                            F.col("__n").alias("n2"), "band", "bv")
+        ).persist()
+        l = bands_df.select(F.col("rid").alias("rid1"), "band", "bv")
+        r = bands_df.select(F.col("rid").alias("rid2"), "band", "bv")
         cand = (
             l.join(r, ["band", "bv"])
             .filter(F.col("rid1") < F.col("rid2"))
+            .select("rid1", "rid2")
             .dropDuplicates(["rid1", "rid2"])
+            .join(base.select(F.col("rid").alias("rid1"), F.col("e").alias("e1"),
+                              F.col("__n").alias("n1")), "rid1")
+            .join(base.select(F.col("rid").alias("rid2"), F.col("e").alias("e2"),
+                              F.col("__n").alias("n2")), "rid2")
         )
     else:
         raise ValueError(method)

@@ -120,11 +120,12 @@ def _prepare(
     weighted: bool,
     broadcast_dict: bool,
 ) -> DataFrame:
-    """(sid, rid, tids, len[, wt, tw, suffixs]) with empties dropped
-    (DROP_EMPTY).
+    """(rid, tids, len[, wt, tw, suffixs]) with empties dropped (DROP_EMPTY).
 
-    ``sid`` is a long surrogate so ordering/tie-breaks ride on 8-byte keys;
-    persisted so the assignment is stable across reuses. The weighted extras
+    Ordering/tie-breaks ride directly on ``rid`` — a deterministic key, so a
+    lost-and-recomputed cache partition can never re-key records (the
+    monotonically_increasing_id surrogate used previously was only stable
+    while its persist() held). The weighted extras
     are pure projections over the (tids, idfs) arrays the encode step already
     carries — no additional shuffle:
     - weighted verification sums idf over the int-array intersection by
@@ -145,7 +146,6 @@ def _prepare(
         idfs_col="idfs" if weighted else None,
     ).drop("toks")
     enc = enc.filter(F.size("tids") > 0).withColumn("len", F.size("tids"))
-    enc = enc.withColumn("sid", F.monotonically_increasing_id())
     if weighted:
         if not broadcast_dict:
             enc = enc.withColumn("idf_map", F.map_from_arrays("tids", "idfs"))
@@ -193,7 +193,6 @@ def _entries(
         plen = (F.col("len") - F.ceil(F.lit(f) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
         slen = (F.col("len") - F.ceil(F.lit(fs) * F.col("len") - F.lit(_EPS)) + 1).cast("int")
         cols = [
-            F.col("sid").alias(f"sid{side}"),
             F.col("rid").alias(f"rid{side}"),
             F.col("tids").alias(f"t{side}"),
             F.col("len").alias(f"len{side}"),
@@ -206,7 +205,6 @@ def _entries(
         # suffix weights ride the pre-computed per-record scan (suffixs) —
         # one posexplode, zero joins, zero windows
         cols = [
-            F.col("sid").alias(f"sid{side}"),
             F.col("rid").alias(f"rid{side}"),
             F.col("tids").alias(f"t{side}"),
             F.col("len").alias(f"len{side}"),
@@ -322,12 +320,15 @@ def set_similarity_self_join(
         keep = ["len"] + (["wt", "suffixs"] if weighted else [])
         if weighted and not broadcast_dict:
             keep.append("idf_map")
+        # deterministic group key: the min member id — stable across cache
+        # loss / recompute (a monotonically_increasing_id here silently
+        # mis-joined the member-expansion step if a persisted partition was
+        # re-derived; see ADVICE r2)
         groups = (
             enc.groupBy("tids")
             .agg(F.collect_list("rid").alias("members"),
+                 F.min("rid").alias("rid"),
                  *[F.first(c).alias(c) for c in keep])
-            .withColumn("sid", F.monotonically_increasing_id())
-            .withColumn("rid", F.col("sid"))
             .persist()
         )
         work = groups
@@ -341,7 +342,7 @@ def set_similarity_self_join(
     # runs in a couple of tasks no matter how many cores exist
     par = df.sparkSession.sparkContext.defaultParallelism
     a = e.filter(F.col("short1")).repartition(2 * par)
-    b_renames = {"sid1": "sid2", "rid1": "rid2", "t1": "t2", "len1": "len2",
+    b_renames = {"rid1": "rid2", "t1": "t2", "len1": "len2",
                  "short1": "short2", "pos1": "pos2", "w1": "w2", "suffix1": "suffix2"}
     b = e.drop("idf_map").withColumnsRenamed(b_renames)
     # the indexing (short) prefix applies to the pair's smaller side —
@@ -350,10 +351,11 @@ def set_similarity_self_join(
     # no join-strategy hint: with few prefix entries Catalyst broadcasts
     # (map-side, zero shuffle); at scale it picks sort-merge, where AQE's
     # skew-join split handles hot prefix tokens — a forced shuffle_hash both
-    # blocked the broadcast AND disabled the skew handling
+    # blocked the broadcast AND disabled the skew handling.
+    # Tie-break on rid (deterministic), never a surrogate id.
     joined = a.join(b, "tok").filter(
         (F.col(m1) < F.col(m2))
-        | ((F.col(m1) == F.col(m2)) & (F.col("sid1") < F.col("sid2")))
+        | ((F.col(m1) == F.col(m2)) & (F.col("rid1") < F.col("rid2")))
     )
     verified = _fused_verify(joined, sim, threshold, weighted, sim_col,
                              canonicalize=True,

@@ -5,9 +5,11 @@ metrics". Each pipeline stage writes its output as a parquet table plus a
 ``_manifest.json`` sidecar recording
 
 - the stage name, its declared input stages, and a config fingerprint,
-- per-partition lineage: for every output file-partition the row count and
-  an order-insensitive xor content hash (so a resumed run can prove the
-  checkpoint it read equals what the stage originally produced),
+- per-partition lineage: for every output file-partition the row count plus
+  an order-insensitive (xor, sum) pair over per-row 64-bit content hashes —
+  xor alone is multiplicity-blind for even repeat counts, the modular sum
+  alone can be forged by compensating rows; together with the count they pin
+  the exact multiset of rows for any partition content, duplicates included,
 - wall-clock seconds and total rows.
 
 A stage is resumed (skipped) when its ``_SUCCESS`` marker and manifest exist
@@ -16,10 +18,10 @@ change invalidates downstream checkpoints automatically. Every run appends a
 row to the ``_metrics`` parquet table (stage, rows, partitions, seconds,
 resumed, fingerprint), the queryable run history the north rule asks for.
 
-The layout is deliberately plain parquet + JSON: on a real cluster the same
-class pointed at an Iceberg/S3 path keeps working (parquet-on-object-store);
-nothing here depends on a local filesystem beyond what Spark's writers
-already require.
+All sidecar/marker IO goes through the Hadoop FileSystem API resolved from
+the path's scheme (``spark._jvm``), so a checkpoint root on ``s3a://``,
+``hdfs://`` or any other Hadoop-supported store behaves exactly like a local
+path: resume detection, manifest read/write and invalidate() all work there.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from __future__ import annotations
 import hashlib
 import json
 import logging
-import os
+import posixpath
 import time
 from collections.abc import Callable
 
@@ -36,19 +38,61 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
 
+_SUM_MOD = 1 << 64  # lineage sum-hash modulus
+
 
 def _fingerprint(obj) -> str:
     return hashlib.sha256(repr(obj).encode()).hexdigest()[:16]
 
 
-def partition_lineage(df: DataFrame) -> list[dict]:
-    """Per-partition (rows, xor-hash) of a materialized table — one job.
+# -- Hadoop FileSystem helpers (scheme-aware: file://, hdfs://, s3a://, ...) --
 
-    The hash xors a 64-bit hash of every row's canonical string, so it is
-    insensitive to row order within the partition but pins the exact
-    multiset of rows... xor of per-row hashes is multiplicity-blind for even
-    counts, so the row count rides alongside it; together they pin count +
-    set, which is exact for the distinct-row outputs all stages produce.
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-partition (rows, xor_hash, sum_hash) of a materialized table.
+
+    One job: every row is hashed (xxhash64 over its canonical string), then
+    per partition we take the row count, the bit-xor and the mod-2^64 sum of
+    the hashes. Each aggregate is order-insensitive; jointly they are
+    multiset-exact in practice (xor pins the odd-multiplicity set, sum pins
+    weighted content, count pins cardinality) — duplicate-bearing outputs are
+    covered, unlike xor alone. The sum rides a decimal accumulator because
+    ANSI mode (Spark 4 default) would overflow a BIGINT sum of 64-bit hashes.
     """
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns]
     rows = (
@@ -57,11 +101,20 @@ def partition_lineage(df: DataFrame) -> list[dict]:
             F.xxhash64(F.concat_ws("\x1f", *cols)).alias("h"),
         )
         .groupBy("pid")
-        .agg(F.count("*").alias("rows"), F.expr("bit_xor(h)").alias("xor_hash"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.expr("bit_xor(h)").alias("xor_hash"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("sum_hash"),
+        )
         .collect()
     )
     return [
-        {"partition": int(r["pid"]), "rows": int(r["rows"]), "xor_hash": int(r["xor_hash"])}
+        {
+            "partition": int(r["pid"]),
+            "rows": int(r["rows"]),
+            "xor_hash": int(r["xor_hash"]),
+            "sum_hash": int(r["sum_hash"]) % _SUM_MOD,
+        }
         for r in sorted(rows, key=lambda r: r["pid"])
     ]
 
@@ -81,10 +134,10 @@ class StageCheckpointer:
 
     # -- paths ---------------------------------------------------------------
     def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return posixpath.join(self.root, name)
 
     def _manifest_path(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}_manifest.json")
+        return posixpath.join(self.root, f"{name}_manifest.json")
 
     # -- core ----------------------------------------------------------------
     def run(self, name: str, fn: Callable[[], DataFrame],
@@ -97,7 +150,7 @@ class StageCheckpointer:
         if (
             manifest is not None
             and manifest.get("fingerprint") == self.fingerprint
-            and os.path.exists(os.path.join(path, "_SUCCESS"))
+            and _fs_exists(self.spark, posixpath.join(path, "_SUCCESS"))
         ):
             log.info("stage %s: resuming from checkpoint %s", name, path)
             df = self.spark.read.parquet(path)
@@ -118,8 +171,7 @@ class StageCheckpointer:
             "seconds": seconds,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(man, f, indent=1)
+        _fs_write_text(self.spark, self._manifest_path(name), json.dumps(man, indent=1))
         self._record(name, man["rows"], len(lineage), seconds, resumed=False)
         return df
 
@@ -130,20 +182,22 @@ class StageCheckpointer:
             return False
         df = self.spark.read.parquet(self._path(name))
         # partition ids can differ on re-read; compare the multiset of
-        # (rows, xor_hash) pairs, which is partition-order independent
-        now = sorted((p["rows"], p["xor_hash"]) for p in partition_lineage(df))
-        then = sorted((p["rows"], p["xor_hash"]) for p in manifest["partitions"])
-        return now == then
+        # (rows, xor_hash, sum_hash) triples, which is partition-order
+        # independent (older manifests without sum_hash compare on the rest)
+        def key(p):
+            return (p["rows"], p["xor_hash"], p.get("sum_hash", 0))
+
+        then = sorted(key(p) for p in manifest["partitions"])
+        has_sum = all("sum_hash" in p for p in manifest["partitions"])
+        now = [
+            (p["rows"], p["xor_hash"], p["sum_hash"] if has_sum else 0)
+            for p in partition_lineage(df)
+        ]
+        return sorted(now) == then
 
     def invalidate(self, name: str) -> None:
-        import shutil
-
-        p = self._path(name)
-        if os.path.exists(p):
-            shutil.rmtree(p)
-        m = self._manifest_path(name)
-        if os.path.exists(m):
-            os.remove(m)
+        _fs_delete(self.spark, self._path(name))
+        _fs_delete(self.spark, self._manifest_path(name))
 
     # -- metrics ---------------------------------------------------------------
     def _record(self, stage: str, rows: int, partitions: int, seconds: float,
@@ -156,17 +210,16 @@ class StageCheckpointer:
             [(stage, rows, partitions, float(seconds), resumed, self.fingerprint)],
             "stage string, rows long, partitions int, seconds double, "
             "resumed boolean, fingerprint string",
-        ).write.mode("append").parquet(os.path.join(self.root, "_metrics"))
+        ).write.mode("append").parquet(posixpath.join(self.root, "_metrics"))
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "_metrics"))
+        return self.spark.read.parquet(posixpath.join(self.root, "_metrics"))
 
     def _read_manifest(self, name: str) -> dict | None:
         p = self._manifest_path(name)
-        if not os.path.exists(p):
-            return None
         try:
-            with open(p) as f:
-                return json.load(f)
-        except (OSError, json.JSONDecodeError):
+            if not _fs_exists(self.spark, p):
+                return None
+            return json.loads(_fs_read_text(self.spark, p))
+        except Exception:  # unreadable/corrupt manifest -> rerun the stage
             return None

@@ -12,6 +12,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """min(32g, ~70% of detected RAM), cgroup-aware; SPARK_DRIVER_MEMORY wins.
+
+    A fixed 32g target OOM-killed the JVM on smaller CI containers; detect
+    the real budget (cgroup v2/v1 limit if tighter than MemTotal)."""
+    limit = None
+    for p in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(p) as f:
+                raw = f.read().strip()
+            if raw != "max":
+                limit = int(raw)
+            break
+        except (OSError, ValueError):
+            continue
+    try:
+        with open("/proc/meminfo") as f:
+            mem_total = int(f.readline().split()[1]) * 1024  # kB -> bytes
+    except (OSError, ValueError, IndexError):
+        mem_total = 64 << 30
+    budget = min(x for x in (limit, mem_total) if x)
+    gb = max(1, min(32, int(budget * 0.7 / (1 << 30))))
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "ebsj-spark",
     master: str | None = None,
@@ -36,8 +61,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         # single-JVM local mode: the "driver" heap is also every executor's
-        # heap — 8g GC-thrashes 32-thread shuffles at bench scale
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # heap — 8g GC-thrashes 32-thread shuffles at bench scale; capped by
+        # the host/cgroup budget so small containers still start
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions",
                 "-XX:+UseParallelGC -Djava.net.preferIPv6Addresses=false")
