@@ -324,6 +324,134 @@ def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(monge_elkan(F.col("h1"), F.col("h2")), 6).alias("me"))
 
 
+# ---------------------------------------------------------------------------
+# matcher-stack queries (F2 feature matrix, M2 forest predict, K2/M4 rule
+# top-K, V2-V5 value grouping) — each with a full DuckDB oracle below
+# ---------------------------------------------------------------------------
+
+#: fixed attribute typing for the documents table (datasets.py:18-22 classes)
+_DOC_ATTR_TYPES = {"text": "str_gt_10w", "source": "str_eq_1w", "n_chars": "numeric"}
+
+
+def doc_features():
+    """The F1 feature set for the documents schema — the single source of
+    truth shared by the feature_matrix/rf_predict queries, the frozen-model
+    training script and the SQL oracle generator."""
+    from entityblockingbysimilarityjoins_spark.matcher.features import (
+        generate_features,
+    )
+
+    return generate_features(_DOC_ATTR_TYPES)
+
+
+def _pairs_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-char-head blocked candidate pairs (real duplicate groups)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, 8).alias("blk"))
+    a = d.select(F.col("doc_id").alias("id1"), "blk")
+    b = d.select(F.col("doc_id").alias("id2"), "blk")
+    return a.join(b, "blk").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+
+
+def _q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: the py_em-style feature matrix over blocked pairs
+    (matcher/features.py; reference cpp/feature/cal_feature.cc:10-35 with the
+    NaN-on-empty rules of feature_utils.h:36-41)."""
+    from entityblockingbysimilarityjoins_spark.matcher.features import (
+        extract_features,
+    )
+
+    feats = doc_features()
+    m = extract_features(_pairs_only(spark, sf_dir), _docs(spark, sf_dir),
+                         "doc_id", feats)
+    return m.select(
+        "id1", "id2",
+        *[F.round(F.col(f.name), 6).alias(f.name) for f in feats],
+    )
+
+
+def _q_rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: batch-predict with the frozen seeded forest (Arrow UDF broadcast
+    scoring, matcher/random_forest.py:243; ref random_forest.py:618-780).
+    The oracle evaluates the SAME tree arrays as SQL CASE expressions."""
+    from entityblockingbysimilarityjoins_spark.matcher.features import (
+        extract_features,
+    )
+    from entityblockingbysimilarityjoins_spark.matcher.persist import (
+        load_model,
+        packaged_model_path,
+    )
+    from entityblockingbysimilarityjoins_spark.matcher.random_forest import (
+        apply_matcher,
+    )
+
+    model = load_model(packaged_model_path())
+    m = extract_features(_pairs_only(spark, sf_dir), _docs(spark, sf_dir),
+                         "doc_id", doc_features())
+    scored = apply_matcher(m, model)
+    return scored.select("id1", "id2",
+                         F.round("match_proba", 6).alias("proba"), "match")
+
+
+#: rules for the density-weighted top-K query (M4 + K2)
+_DENSITY_RULES = [
+    Rule("text", "jac", "dlm", None, 0.8),
+    Rule("head", "lev", None, None, 3.0, "-"),
+    Rule("n_chars", "anm", None, None, 0.98),
+]
+
+
+def _q_rule_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+K2: estimate per-rule F1 weights on a labeled sample
+    (matcher/density.py:51; ref simjoin_blocker.cc:383-537), then rank pairs
+    by the weight-blended rule similarities (ref topk.cc:1053-1523)."""
+    from entityblockingbysimilarityjoins_spark.matcher.density import (
+        estimate_rule_density,
+        score_pairs_by_rules,
+    )
+    from entityblockingbysimilarityjoins_spark.operators.topk import (
+        topk_by_weighted_score,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("head", F.substring("text", 1, 24))
+    pairs = _pairs_only(spark, sf_dir)
+    h = docs.select("doc_id", F.substring("text", 1, 16).alias("h16"))
+    labeled = (
+        pairs.join(h.withColumnsRenamed({"doc_id": "id1", "h16": "h1"}), "id1")
+        .join(h.withColumnsRenamed({"doc_id": "id2", "h16": "h2"}), "id2")
+        .select("id1", "id2", (F.col("h1") == F.col("h2")).cast("int").alias("label"))
+    )
+    weights = estimate_rule_density(labeled, docs, "doc_id", _DENSITY_RULES)
+    scored = score_pairs_by_rules(pairs, docs, "doc_id", _DENSITY_RULES, weights)
+    return topk_by_weighted_score(scored, 200).select(
+        "id1", "id2", F.round("score", 6).alias("score"))
+
+
+def _q_value_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2+V3+V5: value pairs from matched records -> cosine-labeled edges ->
+    CC groups -> normalize the attribute to group representatives
+    (value_matcher/interchangeable.py; ref doc2vec.py:290-326,
+    interchangeable.py:17-67). The md5 count embeddings make every cosine
+    integer-exact, so DuckDB reproduces the grouping bit-for-bit."""
+    from entityblockingbysimilarityjoins_spark.value_matcher.interchangeable import (
+        group_values,
+        normalize_values,
+        value_pairs_from_matches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", F.substring("text", 1, 16).alias("h16"))
+    matches = (
+        d.withColumnsRenamed({"doc_id": "id1", "h16": "h"})
+        .join(d.withColumnsRenamed({"doc_id": "id2", "h16": "h"}), "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    vp = value_pairs_from_matches(matches, docs, "doc_id", "source")
+    groups = group_values(vp, tau=0.5, dim=64, seed=0)
+    out = normalize_values(docs.select("doc_id", "source"), "source", groups)
+    return out.select("doc_id", F.col("source").alias("source_norm"))
+
+
 def _q_weighted_ovlp_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weightedOverlapCoeff over jac>=0.8 candidate pairs (simfunc.cc:265)."""
     from entityblockingbysimilarityjoins_spark.functions.dictionary import (
@@ -386,7 +514,200 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler": _q_jaro_winkler,
         "monge_elkan": _q_monge_elkan,
         "weighted_overlap_coeff": _q_weighted_ovlp_coeff,
+        "feature_matrix": _q_feature_matrix,
+        "rf_predict": _q_rf_predict,
+        "rule_topk": _q_rule_topk,
+        "value_grouping": _q_value_grouping,
     }
+
+
+# ---------------------------------------------------------------------------
+# matcher-stack SQL oracle generators (shared with the frozen model artifact)
+# ---------------------------------------------------------------------------
+
+#: DuckDB list expr: dlm token set of a column (matches tokens_dlm)
+def _dlm_sql(col: str) -> str:
+    return ("list_sort(list_distinct(list_filter(string_split_regex("
+            f"{col}, '{_DLM_RE_SQL}'), x -> x <> '')))")
+
+
+#: DuckDB list expr: char 3-gram set (matches tokens_qgram q=3)
+def _qgm3_sql(col: str) -> str:
+    return ("list_sort(list_distinct(list_filter("
+            f"list_transform(range(1, greatest(length({col}) - 2, 0) + 1), "
+            f"i -> substring({col}, i, 3)), "
+            "x -> regexp_matches(x, '^[a-zA-Z0-9]{3}$'))))")
+
+
+def _feat_sql(feat) -> str:
+    """One feature as a DuckDB expression over the `fp` pair CTE — the same
+    value and NULL-on-empty rules as matcher.features._feature_col."""
+    a, b = f"a_{feat.attr}", f"b_{feat.attr}"
+    empty = (f"{a} IS NULL OR CAST({a} AS VARCHAR) = '' "
+             f"OR {b} IS NULL OR CAST({b} AS VARCHAR) = ''")
+    if feat.tok:
+        tok = "dlm" if feat.tok == "dlm" else "qgm"
+        ta, tb = f"a_{feat.attr}_{tok}", f"b_{feat.attr}_{tok}"
+        o = f"len(list_intersect({ta}, {tb}))"
+        la, lb = f"len({ta})", f"len({tb})"
+        if feat.sim == "jac":
+            val = f"{o}::DOUBLE / ({la} + {lb} - {o})"
+        elif feat.sim == "cos":
+            val = f"{o}::DOUBLE / sqrt(({la} * {lb})::DOUBLE)"
+        elif feat.sim == "dice":
+            val = f"2.0 * {o} / ({la} + {lb})"
+        elif feat.sim == "overlap":
+            val = f"{o}::DOUBLE"
+        elif feat.sim == "overlap_coeff":
+            val = f"{o}::DOUBLE / least({la}, {lb})"
+        else:
+            raise ValueError(feat.sim)
+        return f"CASE WHEN {empty} OR {la} = 0 OR {lb} = 0 THEN NULL ELSE {val} END"
+    if feat.sim == "lev_dist":
+        val = f"levenshtein(CAST({a} AS VARCHAR), CAST({b} AS VARCHAR))::DOUBLE"
+    elif feat.sim == "exact_match":
+        val = (f"CASE WHEN CAST({a} AS VARCHAR) = CAST({b} AS VARCHAR) "
+               "THEN 1.0 ELSE 0.0 END")
+    elif feat.sim == "abs_norm":
+        x, y = f"{a}::DOUBLE", f"{b}::DOUBLE"
+        mx = f"greatest(abs({x}), abs({y}))"
+        val = (f"CASE WHEN {a} = 0 AND {b} = 0 THEN 1.0 "
+               f"WHEN {mx} > 0 THEN 1.0 - abs({x} - {y}) / {mx} ELSE 0.0 END")
+    else:
+        raise ValueError(feat.sim)
+    return f"CASE WHEN {empty} THEN NULL ELSE {val} END"
+
+
+#: pair CTE over 8-char-head blocks with raw attrs + tokenizations per side
+_FEAT_PAIR_CTE = f"""
+frec AS (SELECT doc_id, text, source, n_chars, substring(text, 1, 8) AS blk,
+         {_dlm_sql('text')} AS tok_text_dlm,
+         {_qgm3_sql('text')} AS tok_text_qgm,
+         {_qgm3_sql('source')} AS tok_source_qgm
+         FROM documents),
+fp AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       a.text AS a_text, b.text AS b_text,
+       a.source AS a_source, b.source AS b_source,
+       a.n_chars AS a_n_chars, b.n_chars AS b_n_chars,
+       a.tok_text_dlm AS a_text_dlm, b.tok_text_dlm AS b_text_dlm,
+       a.tok_text_qgm AS a_text_qgm, b.tok_text_qgm AS b_text_qgm,
+       a.tok_source_qgm AS a_source_qgm, b.tok_source_qgm AS b_source_qgm
+       FROM frec a JOIN frec b ON a.blk = b.blk AND a.doc_id < b.doc_id)"""
+
+
+def _sql_feature_matrix() -> str:
+    feats = doc_features()
+    cols = ",\n  ".join(f'round({_feat_sql(f)}, 6) AS "{f.name}"' for f in feats)
+    return f"WITH {_FEAT_PAIR_CTE}\nSELECT id1, id2,\n  {cols}\nFROM fp"
+
+
+def _sql_rf_predict() -> str:
+    from entityblockingbysimilarityjoins_spark.matcher.persist import (
+        forest_proba_sql,
+        load_model,
+        packaged_model_path,
+    )
+
+    model = load_model(packaged_model_path())
+    feats = {f.name: f for f in doc_features()}
+    # unrounded features feed the trees, exactly like the Arrow predict path
+    fcols = ",\n  ".join(f'{_feat_sql(feats[n])} AS "{n}"'
+                         for n in model.feature_names)
+    proba = forest_proba_sql(model, [f'"{n}"' for n in model.feature_names])
+    return f"""WITH {_FEAT_PAIR_CTE},
+fm AS (SELECT id1, id2,\n  {fcols}\nFROM fp),
+pr AS (SELECT id1, id2, {proba} AS p0 FROM fm)
+SELECT id1, id2, round(p0, 6) AS proba, p0 >= 0.5 AS "match" FROM pr"""
+
+
+def _sql_rule_topk() -> str:
+    """SQL replica of estimate_rule_density + score_pairs_by_rules + top-K
+    for _DENSITY_RULES (jac-dlm text >= 0.8; lev head <= 3; anm n_chars >=
+    0.98) — identical float operation order, so the weights and scores match
+    the Spark path bit-for-bit."""
+    o = "len(list_intersect(a.td, b.td))"
+    jac = (f"CASE WHEN (len(a.td) + len(b.td) - {o}) > 0 "
+           f"THEN {o}::DOUBLE / (len(a.td) + len(b.td) - {o}) ELSE 0.0 END")
+    anm = ("CASE WHEN a.n_chars = 0 AND b.n_chars = 0 THEN 1.0 "
+           "WHEN greatest(abs(a.n_chars::DOUBLE), abs(b.n_chars::DOUBLE)) > 0 "
+           "THEN 1.0 - abs(a.n_chars::DOUBLE - b.n_chars::DOUBLE) "
+           "/ greatest(abs(a.n_chars::DOUBLE), abs(b.n_chars::DOUBLE)) "
+           "ELSE 0.0 END")
+    prec = "CASE WHEN pp{i} > 0 THEN tp{i}::DOUBLE / pp{i} ELSE 0.0 END"
+    rec = "CASE WHEN pos > 0 THEN tp{i}::DOUBLE / pos ELSE 0.0 END"
+    f1 = ("CASE WHEN (prec{i} + rec{i}) > 0 "
+          "THEN 2 * prec{i} * rec{i} / (prec{i} + rec{i}) ELSE 0.0 END")
+    pr_cols = ", ".join(f"{prec.format(i=i)} AS prec{i}, {rec.format(i=i)} AS rec{i}"
+                        for i in range(3))
+    f1_cols = ", ".join(f"{f1.format(i=i)} AS f{i}" for i in range(3))
+    w_cols = ", ".join(
+        f"CASE WHEN (f0 + f1 + f2) <> 0 THEN f{i} / (f0 + f1 + f2) "
+        f"ELSE 1.0 / 3 END AS w{i}" for i in range(3))
+    return f"""
+WITH d AS (SELECT doc_id, n_chars, substring(text, 1, 24) AS head,
+           substring(text, 1, 8) AS blk, substring(text, 1, 16) AS h16,
+           {_dlm_sql('text')} AS td FROM documents),
+v AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      {jac} AS r0,
+      levenshtein(a.head, b.head)::DOUBLE AS r1,
+      {anm} AS r2,
+      (a.h16 = b.h16)::INT AS label
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+agg AS (SELECT
+        sum(((r0 >= 0.8) AND label = 1)::INT) AS tp0, sum((r0 >= 0.8)::INT) AS pp0,
+        sum(((r1 <= 3.0) AND label = 1)::INT) AS tp1, sum((r1 <= 3.0)::INT) AS pp1,
+        sum(((r2 >= 0.98) AND label = 1)::INT) AS tp2, sum((r2 >= 0.98)::INT) AS pp2,
+        sum((label = 1)::INT) AS pos FROM v),
+pr AS (SELECT {pr_cols} FROM agg),
+f AS (SELECT {f1_cols} FROM pr),
+w AS (SELECT {w_cols} FROM f)
+SELECT id1, id2,
+       round(0.0 + w0 * r0 + w1 * (1.0 / (1.0 + r1)) + w2 * r2, 6) AS score
+FROM v CROSS JOIN w
+ORDER BY (0.0 + w0 * r0 + w1 * (1.0 / (1.0 + r1)) + w2 * r2) DESC,
+         id1 ASC, id2 ASC
+LIMIT 200"""
+
+
+def _sql_value_grouping() -> str:
+    """SQL replica of the md5 char-3gram count embedding, integer-exact
+    cosine edges (tau 0.5), recursive-CTE connected components, and value
+    normalization to the min-of-group representative."""
+    return """
+WITH d AS (SELECT doc_id, source, substring(text, 1, 16) AS h16 FROM documents),
+m AS (SELECT a.source AS s1, b.source AS s2
+      FROM d a JOIN d b ON a.h16 = b.h16 AND a.doc_id < b.doc_id),
+vp AS (SELECT DISTINCT least(s1, s2) AS v1, greatest(s1, s2) AS v2 FROM m
+       WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+         AND s1 <> s2 AND s1 <> '' AND s2 <> ''),
+vals AS (SELECT DISTINCT v FROM (SELECT v1 AS v FROM vp UNION SELECT v2 FROM vp)),
+grams AS (SELECT v, unnest(list_transform(range(1, length(v) + 1),
+                   i -> substring('^' || v || '$', i, 3))) AS g FROM vals),
+hx AS (SELECT v, ('0x' || substr(md5('0:' || g), 1, 15))::BIGINT AS x FROM grams),
+vec AS (SELECT v, x % 64 AS b,
+        sum(CASE WHEN (x >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS c
+        FROM hx GROUP BY 1, 2),
+nrm AS (SELECT v, sqrt(sum(c * c)) AS n FROM vec GROUP BY v),
+dots AS (SELECT p.v1, p.v2, sum(a.c * b.c) AS dot
+         FROM vp p JOIN vec a ON a.v = p.v1
+                   JOIN vec b ON b.v = p.v2 AND b.b = a.b
+         GROUP BY 1, 2),
+edges AS (SELECT p.v1, p.v2 FROM vp p
+          JOIN nrm n1 ON n1.v = p.v1 JOIN nrm n2 ON n2.v = p.v2
+          LEFT JOIN dots dd ON dd.v1 = p.v1 AND dd.v2 = p.v2
+          WHERE n1.n > 0 AND n2.n > 0
+            AND coalesce(dd.dot, 0.0) / (n1.n * n2.n) >= 0.5),
+ed2 AS (SELECT v1 AS u, v2 AS v FROM edges UNION SELECT v2, v1 FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM ed2),
+comp AS (SELECT node, min(c) AS rep FROM (
+  WITH RECURSIVE walk(node, c) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.v, w.c FROM walk w JOIN ed2 e ON e.u = w.node WHERE w.c < e.v
+  ) SELECT node, c FROM walk
+) GROUP BY node)
+SELECT d0.doc_id, coalesce(comp.rep, d0.source) AS source_norm
+FROM documents d0 LEFT JOIN comp ON comp.node = d0.source"""
 
 
 # ---------------------------------------------------------------------------
@@ -701,4 +1022,8 @@ wo AS (SELECT id1, id2, sum(i.w) AS wov
        GROUP BY 1, 2)
 SELECT id1, id2, round(wov / least(r1.wt, r2.wt), 6) AS wocoeff
 FROM wo JOIN rw r1 ON r1.doc_id = id1 JOIN rw r2 ON r2.doc_id = id2""",
+        "feature_matrix": _sql_feature_matrix(),
+        "rf_predict": _sql_rf_predict(),
+        "rule_topk": _sql_rule_topk(),
+        "value_grouping": _sql_value_grouping(),
     }

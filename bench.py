@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "set_join_rs",
     "ann_lsh_topk",
     "down_sample",
+    # round-3 additions: the matcher stack end-to-end
+    "feature_matrix",
+    "rf_predict",
+    "rule_topk",
+    "value_grouping",
 ]
 
 

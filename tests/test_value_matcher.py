@@ -20,15 +20,19 @@ from entityblockingbysimilarityjoins_spark.value_matcher.interchangeable import 
 )
 
 
-def test_embedding_deterministic_and_normalized(spark):
+def test_embedding_deterministic_and_integer_counts(spark):
     df = spark.createDataFrame([("alpha beta",), ("alpha beta",), ("zzz",)], ["v"])
     rows = df.select(hashed_embedding("v").alias("e")).collect()
     assert rows[0]["e"] == rows[1]["e"]
-    assert np.linalg.norm(rows[0]["e"]) == pytest.approx(1.0, abs=1e-5)
-    # matches the driver-side numpy reference implementation
+    e = np.asarray(rows[0]["e"])
+    # raw ±1 counts: integer-valued components, one count per 3-gram of ^v$
+    assert np.all(e == np.round(e))
+    assert np.abs(e).sum() <= len("^alpha beta$") - 2
+    assert np.abs(e).sum() > 0
+    # matches the driver-side numpy reference implementation exactly
     import pandas as pd
     ref = _embed_numpy(pd.Series(["alpha beta"]), 64, 0)[0]
-    assert np.allclose(rows[0]["e"], ref, atol=1e-6)
+    assert np.array_equal(e, ref)
 
 
 def test_cosine_sim_column(spark):
@@ -49,7 +53,7 @@ def test_value_pairs_and_grouping(spark):
     vp = value_pairs_from_matches(matches, records, "rid", "name")
     got = {(r["v1"], r["v2"]) for r in vp.collect()}
     assert len(got) == 3 and all(a < b for a, b in got)
-    groups = group_values(vp, tau=0.75)
+    groups = group_values(vp, tau=0.7)
     g = {r["value"]: r["representative"] for r in groups.collect()}
     # the three near-identical names group together; the unrelated pair does not
     assert g.get("ultrabook pro 15 inch") == "ultrabook pro 15"
