@@ -452,6 +452,35 @@ def _q_value_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("source").alias("source_norm"))
 
 
+def _q_string_sim_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring-scale string sims: ~30 pairs per document (10^5-pair regime at
+    sf0.1) through the numpy-vectorized Jaro-Winkler + Monge-Elkan batch path
+    (functions/jw_numpy.py) — the bench variant the r2 VERDICT asked for."""
+    from entityblockingbysimilarityjoins_spark.functions.sim import (
+        jaro_winkler,
+        monge_elkan,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("h40"),
+        F.substring("text", 1, 60).alias("h60"),
+    )
+    pairs = (
+        d.select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(30))).alias("k"))
+        .select(F.col("doc_id").alias("id1"),
+                (F.col("doc_id") + F.col("k") * 37).alias("id2"))
+    )
+    l = d.withColumnsRenamed({"doc_id": "id1", "h40": "a40", "h60": "a60"})
+    r = d.withColumnsRenamed({"doc_id": "id2", "h40": "b40", "h60": "b60"})
+    return (
+        pairs.join(l, "id1").join(r, "id2")
+        .select("id1", "id2",
+                F.round(jaro_winkler(F.col("a40"), F.col("b40")), 6).alias("jw"),
+                F.round(monge_elkan(F.col("a60"), F.col("b60")), 6).alias("me"))
+    )
+
+
 def _q_weighted_ovlp_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weightedOverlapCoeff over jac>=0.8 candidate pairs (simfunc.cc:265)."""
     from entityblockingbysimilarityjoins_spark.functions.dictionary import (
@@ -518,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rf_predict": _q_rf_predict,
         "rule_topk": _q_rule_topk,
         "value_grouping": _q_value_grouping,
+        "string_sim_bulk": _q_string_sim_bulk,
     }
 
 
@@ -1026,4 +1056,18 @@ FROM wo JOIN rw r1 ON r1.doc_id = id1 JOIN rw r2 ON r2.doc_id = id2""",
         "rf_predict": _sql_rf_predict(),
         "rule_topk": _sql_rule_topk(),
         "value_grouping": _sql_value_grouping(),
+        "string_sim_bulk": """
+WITH d AS (SELECT doc_id, substring(text, 1, 40) AS h40,
+                  substring(text, 1, 60) AS h60,
+                  list_filter(string_split(substring(text, 1, 60), ' '),
+                              x -> x <> '') AS t60
+           FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(jaro_winkler_similarity(a.h40, b.h40), 6) AS jw,
+       round(CASE WHEN len(a.t60) = 0 OR len(b.t60) = 0 THEN 0.0
+             ELSE list_avg(list_transform(a.t60,
+                    x -> list_max(list_transform(b.t60,
+                           y -> jaro_winkler_similarity(x, y))))) END, 6) AS me
+FROM d a CROSS JOIN (SELECT unnest(range(1, 31)) AS k) k
+     JOIN d b ON b.doc_id = a.doc_id + 37 * k.k""",
     }

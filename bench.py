@@ -37,11 +37,12 @@ BENCH_QUERIES = [
     "set_join_rs",
     "ann_lsh_topk",
     "down_sample",
-    # round-3 additions: the matcher stack end-to-end
+    # round-3 additions: the matcher stack end-to-end + bulk string scoring
     "feature_matrix",
     "rf_predict",
     "rule_topk",
     "value_grouping",
+    "string_sim_bulk",
 ]
 
 

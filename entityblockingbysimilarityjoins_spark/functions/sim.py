@@ -184,16 +184,15 @@ def monge_elkan_py(s1: str, s2: str) -> float:
     return sum(max(jaro_winkler_py(a, b) for b in t2) for a in t1) / len(t1)
 
 
-def _pair_udf(fn):
+def _batch_udf(batch_fn):
+    """Arrow pandas UDF wrapping a numpy batch function (list[str], list[str])
+    -> np.ndarray — the whole batch is one vectorized call, no per-row
+    Python (functions.jw_numpy; bit-identical to the *_py scalar oracles)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _udf(a, b):
-        return pd.Series(
-            [fn(x if x is not None else "", y if y is not None else "")
-             for x, y in zip(a, b)],
-            dtype="float64",
-        )
+        return pd.Series(batch_fn(a.tolist(), b.tolist()), dtype="float64")
 
     # real type objects (the module-level `from __future__ import annotations`
     # would stringify inline hints, which pandas_udf cannot resolve)
@@ -202,13 +201,20 @@ def _pair_udf(fn):
 
 
 def jaro_winkler(a: Column, b: Column) -> Column:
-    """Jaro-Winkler similarity as an Arrow-batched pandas UDF Column."""
-    return _pair_udf(jaro_winkler_py)(a, b)
+    """Jaro-Winkler similarity — numpy-vectorized Arrow batches (masked char
+    sweeps over padded code matrices, ~5x the scalar loop on head-length
+    strings; see functions/jw_numpy.py)."""
+    from .jw_numpy import jw_batch
+
+    return _batch_udf(jw_batch)(a, b)
 
 
 def monge_elkan(a: Column, b: Column) -> Column:
-    """Monge-Elkan (JW inner) as an Arrow-batched pandas UDF Column."""
-    return _pair_udf(monge_elkan_py)(a, b)
+    """Monge-Elkan (JW inner) — numpy-vectorized with distinct-token-pair
+    dedup across the Arrow batch (see functions/jw_numpy.py)."""
+    from .jw_numpy import monge_elkan_batch
+
+    return _batch_udf(monge_elkan_batch)(a, b)
 
 
 #: dispatch table for the set-similarity family (sim name -> Column fn)

@@ -107,3 +107,56 @@ def test_jw_me_feature_recipes(spark):
     assert row[feats[0].name] == pytest.approx(jaro_winkler_py("martha jones", "marhta jones"))
     assert row[feats[1].name] == pytest.approx(monge_elkan_py("martha jones", "marhta jones"))
     assert not math.isnan(row[feats[0].name])
+
+
+def test_vectorized_batch_matches_scalar_oracle():
+    """jw_numpy batch path is bit-identical to the scalar reference across an
+    adversarial battery (equal/empty/unicode/reversed/mutated/long strings)."""
+    import random
+
+    import numpy as np
+
+    from entityblockingbysimilarityjoins_spark.functions.jw_numpy import (
+        jw_batch,
+        monge_elkan_batch,
+    )
+    from entityblockingbysimilarityjoins_spark.functions.sim import (
+        jaro_winkler_py,
+        monge_elkan_py,
+    )
+
+    rng = random.Random(11)
+
+    def rand_str(maxlen=30, alpha="abcdef ghij"):
+        return "".join(rng.choice(alpha) for _ in range(rng.randrange(0, maxlen)))
+
+    pairs = []
+    for _ in range(1500):
+        s = rand_str()
+        mode = rng.randrange(6)
+        if mode == 0:
+            t = rand_str()
+        elif mode == 1:
+            t = s
+        elif mode == 2:
+            t = list(s)
+            for _ in range(rng.randrange(0, 4)):
+                if t:
+                    t[rng.randrange(len(t))] = rng.choice("abcxyz")
+            t = "".join(t)
+        elif mode == 3:
+            t = s[::-1]
+        elif mode == 4:
+            t = s[: rng.randrange(0, len(s) + 1)] + rand_str(5)
+        else:
+            t = rand_str(8, "日本語abc ü")
+        pairs.append((s, t))
+    pairs += [("", ""), ("a", ""), ("", "b"), ("a", "a"), ("ab", "ba"),
+              ("martha", "marhta"), ("dwayne", "duane"), (None, "x"),
+              ("x" * 300, "x" * 299 + "y"), ("ü" * 20, "ü" * 19 + "o")]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    jw_exp = np.array([jaro_winkler_py(x or "", y or "") for x, y in pairs])
+    me_exp = np.array([monge_elkan_py(x or "", y or "") for x, y in pairs])
+    assert np.array_equal(jw_batch(a, b), jw_exp)
+    assert np.array_equal(monge_elkan_batch(a, b), me_exp)
