@@ -283,3 +283,51 @@ def build_training_sample(
     pairs = cand.unionByName(rand_pairs).dropDuplicates(["id1", "id2"])
     g = gold.select("id1", "id2").withColumn("label", F.lit(1))
     return pairs.join(g, ["id1", "id2"], "left").fillna({"label": 0})
+
+
+def resample_labeled(
+    df: DataFrame,
+    label_col: str = "label",
+    mode: str = "over",
+    seed: int = 0,
+) -> DataFrame:
+    """P7: seeded class rebalancing of a labeled sample to a 1:1 ratio —
+    the Random{Over,Under}Sampler(random_state) calls of the reference
+    (``simjoin_entitymatching/matcher/random_forest.py:148-175``).
+
+    mode='over': duplicate minority rows with replacement (each row gets
+    floor(extra/n_min) copies plus one more for the md5-order-first
+    ``extra mod n_min`` rows — a deterministic draw, stable across
+    partitionings). mode='under': keep the md5-order-first n_min majority
+    rows. The window/TakeOrdered run over the labeled sample only, which is
+    driver-trainable-small by construction (never the corpus)."""
+    counts = {
+        r[label_col]: r["n"]
+        for r in df.groupBy(label_col).agg(F.count("*").alias("n")).collect()
+    }
+    if len(counts) != 2 or len(set(counts.values())) == 1:
+        return df
+    maj = max(counts, key=lambda k: (counts[k], str(k)))
+    minr = min(counts, key=lambda k: (counts[k], str(k)))
+    n_maj, n_min = counts[maj], counts[minr]
+    h = F.md5(F.concat_ws(
+        ":", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns],
+        F.lit(str(seed))))
+    if mode == "under":
+        kept_maj = df.filter(F.col(label_col) == maj).orderBy(h).limit(n_min)
+        return df.filter(F.col(label_col) == minr).unionByName(kept_maj)
+    if mode != "over":
+        raise ValueError(mode)
+    extra = n_maj - n_min
+    base, rem = extra // n_min, extra % n_min
+    minority = df.filter(F.col(label_col) == minr)
+    ranked = minority.withColumn("__h", h).withColumn(
+        "__rn", F.row_number().over(Window.orderBy("__h")))
+    dup = (
+        ranked.withColumn(
+            "__k", F.lit(base) + (F.col("__rn") <= rem).cast("int"))
+        .filter(F.col("__k") > 0)
+        .withColumn("__e", F.explode(F.sequence(F.lit(1), F.col("__k"))))
+        .drop("__h", "__rn", "__k", "__e")
+    )
+    return df.unionByName(dup)

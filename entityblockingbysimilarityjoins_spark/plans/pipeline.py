@@ -55,6 +55,9 @@ class PipelineConfig:
     #: (random_forest.py:441-459) instead of the fixed depth/leaf above
     tune: bool = False
     match_threshold: float = 0.5
+    #: P7: rebalance the labeled sample before training — None | 'over' |
+    #: 'under' (reference random_forest.py:148-175 Random{Over,Under}Sampler)
+    resample: str | None = None
     seed: int = 0
     # V7/V8: interchangeable-value second round (re-match negatives with
     # IC-normalized attributes, expand clusters with IC groups)
@@ -103,10 +106,19 @@ def run_pipeline(
         n_random_negatives=cfg.n_random_negatives, seed=cfg.seed,
     ))
 
-    # E2a: features + training (driver-side — the sample is small)
+    # E1b (optional): P7 class rebalancing of the training sample
+    if cfg.resample:
+        from ..operators.sampler import resample_labeled
+
+        sample = resample_labeled(sample, "label", mode=cfg.resample, seed=cfg.seed)
+
+    # E2a: features + training (driver-side — the sample is small).
+    # Features once per DISTINCT pair; oversampled duplicates re-enter
+    # through the label join below.
     attr_types = infer_attr_types(records, ATTRS)
     features = generate_features(attr_types)
-    feat_df = extract_features(sample.select("id1", "id2"), records, idc, features)
+    feat_df = extract_features(sample.select("id1", "id2").distinct(), records,
+                               idc, features)
     train_pdf = feat_df.join(sample.select("id1", "id2", "label"), ["id1", "id2"]).toPandas()
     feat_names = [f.name for f in features]
     if cfg.tune:

@@ -47,19 +47,46 @@ def value_pairs_from_matches(
 
 
 def group_values(
-    value_pairs: DataFrame, tau: float = 0.8, dim: int = 64, seed: int = 0
+    value_pairs: DataFrame, tau: float = 0.8, dim: int = 64, seed: int = 0,
+    closure: str = "cc",
 ) -> DataFrame:
     """V2+V3: cosine-label value pairs, group by connectivity.
 
     Returns (value, representative) for every value in some group
-    (representative = min value of the group, deterministic)."""
+    (representative = min value of the group, deterministic).
+
+    ``closure``: 'cc' takes the full transitive closure (connected
+    components). '2hop' is the reference's bounded mode
+    (``cpp/group/graph.h:69-71``: "we only check the two-hop neighbors" —
+    x ~ z is deduced through one shared neighbor but z's further neighbors
+    are NOT followed): each value's representative is the minimum over its
+    <=2-hop neighborhood, computed with ONE self-join of the symmetric edge
+    list — noisy embeddings then produce smaller, tighter groups."""
     scored = value_pairs.withColumn(
         "cos", cosine_sim(hashed_embedding(F.col("v1"), dim, seed),
                           hashed_embedding(F.col("v2"), dim, seed))
     )
     edges = scored.filter(F.col("cos") >= tau).select("v1", "v2")
-    comp = connected_components(edges, "v1", "v2")
-    return comp.select(F.col("node").alias("value"), F.col("component").alias("representative"))
+    if closure == "cc":
+        comp = connected_components(edges, "v1", "v2")
+        return comp.select(F.col("node").alias("value"),
+                           F.col("component").alias("representative"))
+    if closure != "2hop":
+        raise ValueError(closure)
+    sym = edges.select(F.col("v1").alias("u"), F.col("v2").alias("v")).unionAll(
+        edges.select(F.col("v2").alias("u"), F.col("v1").alias("v")))
+    two = (
+        sym.withColumnRenamed("v", "m")
+        .join(sym.withColumnsRenamed({"u": "m", "v": "w"}), "m")
+        .select("u", F.col("w").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    reach = sym.unionAll(two)
+    return (
+        reach.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("representative"))
+        .select(F.col("u").alias("value"), "representative")
+    )
 
 
 def normalize_values(

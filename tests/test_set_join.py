@@ -138,6 +138,12 @@ def test_weighted_map_path_equals_literal_path(spark):
             set_similarity_self_join(df, "rid", "tokens", "jac", 0.6, weighted=True,
                                      broadcast_dict=False).collect()}
     assert fast == slow and len(fast) > 0
+    # vocab-size gate: a tiny literal cap must force the map path (no driver
+    # collect of the vocabulary) and still produce identical results
+    gated = {(r["id1"], r["id2"]): round(r["sim"], 9) for r in
+             set_similarity_self_join(df, "rid", "tokens", "jac", 0.6, weighted=True,
+                                      max_idf_literal_entries=4).collect()}
+    assert fast == gated
 
 
 def test_empty_sets_never_join(spark):

@@ -85,3 +85,56 @@ def test_cluster_pairs_ic_expansion(spark):
     assert cl["2"] == cl["3"]
     assert cl["0"] != cl["2"]
     assert "4" not in cl  # no edges -> not clustered
+
+
+def test_group_values_2hop_bounded_closure(spark):
+    """V4: 2-hop mode stops after one shared neighbor (graph.h:69-71) —
+    on a chain a-b-c-d, d's 2-hop reach is {b, c}, so its representative is
+    b, while full CC labels everything a."""
+    from entityblockingbysimilarityjoins_spark.value_matcher.interchangeable import (
+        group_values,
+    )
+
+    # values engineered so consecutive pairs are similar (shared 3-grams)
+    chain = ["grp alpha 1", "grp alpha 2", "grp alpha 3", "grp alpha 4"]
+    vp = spark.createDataFrame(
+        [(chain[0], chain[1]), (chain[1], chain[2]), (chain[2], chain[3])],
+        ["v1", "v2"],
+    )
+    # tau=0 keeps exactly the given edges (all cosines > 0 for similar strings)
+    cc = {r["value"]: r["representative"]
+          for r in group_values(vp, tau=0.5, closure="cc").collect()}
+    hop = {r["value"]: r["representative"]
+           for r in group_values(vp, tau=0.5, closure="2hop").collect()}
+    assert all(rep == chain[0] for rep in cc.values())
+    assert hop[chain[0]] == chain[0]          # reaches b, c; min is itself
+    assert hop[chain[1]] == chain[0]
+    assert hop[chain[2]] == chain[0]          # 2-hop reaches a via b
+    assert hop[chain[3]] == chain[1]          # reaches c, b only — NOT a
+
+
+def test_resample_labeled_balances_classes(spark):
+    from entityblockingbysimilarityjoins_spark.operators.sampler import (
+        resample_labeled,
+    )
+
+    rows = [(i, i + 100, 1 if i < 4 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id1", "id2", "label"])
+
+    over = resample_labeled(df, "label", mode="over", seed=3)
+    oc = {r["label"]: r["n"] for r in
+          over.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert oc == {0: 16, 1: 16}
+    # oversampling only duplicates existing minority rows
+    assert over.select("id1", "id2").distinct().count() == 20
+    # deterministic across invocations
+    assert sorted(map(tuple, over.collect())) == sorted(map(tuple, resample_labeled(
+        df, "label", mode="over", seed=3).collect()))
+
+    under = resample_labeled(df, "label", mode="under", seed=3)
+    uc = {r["label"]: r["n"] for r in
+          under.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert uc == {0: 4, 1: 4}
+    # balanced input is a no-op
+    bal = spark.createDataFrame([(1, 2, 0), (3, 4, 1)], ["id1", "id2", "label"])
+    assert resample_labeled(bal, "label", mode="over").count() == 2
