@@ -224,6 +224,107 @@ def tune_matcher(
     ).fit(X, y, feature_names)
 
 
+def _binary_entropy(p: np.ndarray) -> np.ndarray:
+    """-(p0 log2 p0 + p1 log2 p1) with 0·log 0 = 0 (ref random_forest.py:46-49)."""
+    p = np.clip(np.asarray(p, dtype=np.float64), 0.0, 1.0)
+    q = 1.0 - p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lp = np.where(p > 0, np.log2(np.maximum(p, 1e-300)), 0.0)
+        lq = np.where(q > 0, np.log2(np.maximum(q, 1e-300)), 0.0)
+    return -(q * lq + p * lp)
+
+
+def train_model_active(
+    X: np.ndarray,
+    y: np.ndarray,
+    feature_names: list[str] | None = None,
+    n_trees: int = 10,
+    sample_size: int = 50,
+    seed: int = 0,
+    max_iteration: int = 30,
+    window_size: int = 5,
+    epsilon: float = 0.01,
+    n_converged: int = 20,
+    n_high: int = 3,
+    n_degrade: int = 15,
+) -> RandomForestMatcher:
+    """M1 active-learning trainer — the ``train_model_active`` loop of the
+    reference (``simjoin_entitymatching/matcher/random_forest.py:478-616``),
+    deterministic (all draws seeded):
+
+    - hold out a 3% monitor set; seed the labeled pool with a balanced
+      half/half draw of ``sample_size``;
+    - each epoch: fit the forest on H, rank the pool by prediction entropy,
+      entropy-weighted-sample 20 of the top-100 into H;
+    - stop on smoothed monitor confidence (1 - entropy): converged window /
+      three near-absolute epochs / degrading max between two windows —
+      the reference's three exit rules with identical constants.
+
+    Driver-side like the other trainers (the labeled sample is small by
+    construction); the fitted model broadcasts into the Arrow predict UDF."""
+    X = np.nan_to_num(np.asarray(X, dtype=np.float64), nan=0.0)
+    y = np.asarray(y, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    n = len(y)
+    monitor = rng.choice(n, size=max(1, int(n * 0.03)), replace=False)
+    rest = np.setdiff1d(np.arange(n), monitor)
+    pos = rest[y[rest] == 1]
+    neg = rest[y[rest] == 0]
+    half = int(sample_size / 2.0)
+    seed_idx = np.concatenate([
+        rng.choice(pos, size=min(half, len(pos)), replace=False),
+        rng.choice(neg, size=min(half, len(neg)), replace=False),
+    ])
+    H = list(seed_idx)
+    L = list(np.setdiff1d(rest, seed_idx))
+    model = RandomForestMatcher(n_trees=n_trees, max_depth=64,
+                                random_state=seed,
+                                feature_names=list(feature_names or []))
+    confidence_set = np.zeros(max_iteration, dtype=np.float64)
+    lw = (window_size - 1) // 2
+    rw = window_size - 1 - lw
+    for turn in range(max_iteration):
+        model.fit(X[H], y[H], feature_names)
+        ent = _binary_entropy(model.predict_proba(X[L])) if L else np.array([])
+        if len(L) < 100:
+            break
+        top = np.argsort(-ent, kind="stable")[:100]
+        w = ent[top]
+        if w.sum() > 0:
+            pick = rng.choice(top, size=min(20, len(top)), replace=False,
+                              p=w / w.sum())
+        else:
+            pick = top[:20]
+        picked = sorted(pick, reverse=True)
+        for i in picked:
+            H.append(L[i])
+        for i in picked:
+            del L[i]
+        conf = 1.0 - _binary_entropy(model.predict_proba(X[monitor]))
+        confidence_set[turn] = conf.sum() / max(len(monitor), 1)
+        if turn < window_size - 1:
+            continue
+        for si in range(lw, turn - rw + 1):
+            confidence_set[turn] = (
+                confidence_set[si - lw: si + rw + 1].sum() / window_size)
+        if turn >= n_converged - 1:
+            ok = all(
+                abs(confidence_set[i] - confidence_set[i - 1]) <= epsilon
+                or abs(confidence_set[i] - confidence_set[i + 1]) <= epsilon
+                for i in range(turn + 2 - n_converged, turn))
+            if ok:
+                break
+        if turn >= n_high - 1 and all(
+                confidence_set[turn - k] >= 1 - epsilon for k in range(n_high)):
+            break
+        if turn >= n_degrade * 2 - 1:
+            w1 = confidence_set[turn + 1 - n_degrade: turn + 1]
+            w2 = confidence_set[turn + 1 - 2 * n_degrade: turn + 1 - n_degrade]
+            if w2.max() - w1.max() >= epsilon:
+                break
+    return model
+
+
 def predict_column(model: RandomForestMatcher, feature_cols: list[str]):
     """Vectorized pandas-UDF Column: match probability per candidate row.
 

@@ -1,0 +1,158 @@
+"""Seeded numpy PV-DBOW doc2vec — the V1 value-embedding path.
+
+The reference trains ``gensim.models.doc2vec.Doc2Vec(vector_size=50,
+min_count=2, epochs=40)`` over attribute values
+(``simjoin_entitymatching/value_matcher/doc2vec.py:126-171``). gensim is not
+in this environment, so this is a small deterministic PV-DBOW trained with
+negative sampling in numpy (epochs default 120 — the value vocabulary is
+far smaller than gensim's usual corpora, so it needs more passes; the
+reference uses 40 on the same principle at its scale): per epoch, every
+(doc, word) pair gets one SGD
+step (sigmoid positive + ``negative`` unigram^0.75 samples), minibatched and
+applied with scatter-adds so the whole epoch is vectorized. All randomness
+(init, shuffling, negative draws) comes from one seeded generator — same
+corpus + seed => identical vectors, which the cosine-grouping stage (V2)
+requires for reproducible groups.
+
+Scale position: like the reference, this trains DRIVER-SIDE over the distinct
+values of one attribute — the value vocabulary is orders of magnitude smaller
+than the corpus (the corpus-side work, grouping and normalization, stays
+distributed in ``interchangeable.py``). The feature-hashing embedding in
+``embed.py`` remains the engine-portable default (it is what the DuckDB
+correctness oracle reproduces); PV-DBOW is the quality upgrade for dirty
+values where shared-3-gram evidence is too weak.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simple_tokens(s: str) -> list[str]:
+    """Lowercase alphanumeric tokens (gensim simple_preprocess analogue,
+    without the <2-char drop so short value words survive)."""
+    out, cur = [], []
+    for ch in (s or "").lower():
+        if ch.isalnum():
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+class SeededDoc2Vec:
+    """PV-DBOW with negative sampling; deterministic given (corpus, seed)."""
+
+    def __init__(self, vector_size: int = 50, min_count: int = 2,
+                 epochs: int = 120, negative: int = 5, alpha: float = 0.025,
+                 min_alpha: float = 0.0001, seed: int = 0,
+                 batch: int = 2048):
+        self.vector_size = vector_size
+        self.min_count = min_count
+        self.epochs = epochs
+        self.negative = negative
+        self.alpha = alpha
+        self.min_alpha = min_alpha
+        self.seed = seed
+        self.batch = batch
+        self.doc_vectors: np.ndarray | None = None
+
+    def fit(self, docs: list[list[str]]) -> "SeededDoc2Vec":
+        rng = np.random.default_rng(self.seed)
+        counts: dict[str, int] = {}
+        for d in docs:
+            for w in d:
+                counts[w] = counts.get(w, 0) + 1
+        vocab = {w: i for i, w in enumerate(
+            sorted(w for w, c in counts.items() if c >= self.min_count))}
+        n_docs, dim = len(docs), self.vector_size
+        D = (rng.random((n_docs, dim)) - 0.5) / dim  # gensim-style init
+        if not vocab:
+            self.doc_vectors = D
+            return self
+        W = np.zeros((len(vocab), dim))
+        freq = np.array([counts[w] for w in vocab], dtype=np.float64) ** 0.75
+        noise_p = freq / freq.sum()
+        pair_d = np.array([i for i, d in enumerate(docs)
+                           for w in d if w in vocab], dtype=np.int64)
+        pair_w = np.array([vocab[w] for d in docs
+                           for w in d if w in vocab], dtype=np.int64)
+        n_pairs = len(pair_d)
+        if n_pairs == 0:
+            self.doc_vectors = D
+            return self
+        for epoch in range(self.epochs):
+            lr = max(self.alpha - (self.alpha - self.min_alpha)
+                     * epoch / max(self.epochs - 1, 1), self.min_alpha)
+            order = rng.permutation(n_pairs)
+            for s in range(0, n_pairs, self.batch):
+                di = pair_d[order[s:s + self.batch]]
+                wi = pair_w[order[s:s + self.batch]]
+                b = len(di)
+                # one positive + `negative` noise words per pair
+                neg = rng.choice(len(vocab), size=(b, self.negative), p=noise_p)
+                tgt = np.concatenate([wi[:, None], neg], axis=1)  # (b, 1+k)
+                lbl = np.zeros((b, 1 + self.negative))
+                lbl[:, 0] = 1.0
+                dv = D[di]                          # (b, dim)
+                wv = W[tgt]                         # (b, 1+k, dim)
+                z = np.clip(np.einsum("bd,bkd->bk", dv, wv), -35.0, 35.0)
+                g = (lbl - 1.0 / (1.0 + np.exp(-z))) * lr  # (b, 1+k)
+                d_grad = np.einsum("bk,bkd->bd", g, wv)
+                w_grad = g[:, :, None] * dv[:, None, :]
+                np.add.at(D, di, d_grad)
+                np.add.at(W, tgt.reshape(-1),
+                          w_grad.reshape(-1, dim))
+        self.doc_vectors = D
+        return self
+
+
+def doc2vec_value_vectors(
+    values_df: DataFrame,
+    value_col: str = "value",
+    vector_size: int = 50,
+    min_count: int = 2,
+    epochs: int = 120,
+    seed: int = 0,
+) -> DataFrame:
+    """(value, vec array<double>) for every distinct value — trains the
+    seeded PV-DBOW driver-side over the value vocabulary (small by
+    construction; the reference does the same with gensim in one process)."""
+    spark = values_df.sparkSession
+    values = [r[0] for r in
+              values_df.select(value_col).distinct().orderBy(value_col).collect()]
+    model = SeededDoc2Vec(vector_size=vector_size, min_count=min_count,
+                          epochs=epochs, seed=seed).fit(
+        [simple_tokens(v) for v in values])
+    rows = [(v, model.doc_vectors[i].tolist()) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, f"{value_col} string, vec array<double>")
+
+
+def group_values_doc2vec(
+    value_pairs: DataFrame, tau: float = 0.6, vector_size: int = 50,
+    epochs: int = 120, seed: int = 0, closure: str = "cc",
+) -> DataFrame:
+    """V2+V3 with PV-DBOW embeddings: cosine-label the value pairs, group by
+    connectivity (same contract as ``interchangeable.group_values``)."""
+    from ..operators.connected_components import connected_components
+    from .embed import cosine_sim
+
+    vals = value_pairs.select(F.col("v1").alias("value")).unionAll(
+        value_pairs.select(F.col("v2").alias("value")))
+    vecs = doc2vec_value_vectors(vals, "value", vector_size=vector_size,
+                                 epochs=epochs, seed=seed)
+    scored = (
+        value_pairs
+        .join(vecs.withColumnsRenamed({"value": "v1", "vec": "e1"}), "v1")
+        .join(vecs.withColumnsRenamed({"value": "v2", "vec": "e2"}), "v2")
+        .withColumn("cos", cosine_sim(F.col("e1"), F.col("e2")))
+    )
+    edges = scored.filter(F.col("cos") >= tau).select("v1", "v2")
+    comp = connected_components(edges, "v1", "v2")
+    return comp.select(F.col("node").alias("value"),
+                       F.col("component").alias("representative"))

@@ -117,7 +117,12 @@ def main() -> None:
 
         t0 = time.time()
         wtoks = records.select("url", tokens_wspace(F.col("text")).alias("tokens"))
-        n_mh = minhash_lsh_pairs(wtoks, "url", "tokens", threshold=0.9).count()
+        # perms configurable: 128/16 bands keeps banding recall >1-1e-4 at
+        # s>=0.9 and halves the signature work vs 256/32 (r3: amortize the
+        # memory-bandwidth-bound stage that capped 4->16 efficiency)
+        mh_perms = int(os.environ.get("SPARK_GRAFT_MH_PERMS", "128"))
+        n_mh = minhash_lsh_pairs(wtoks, "url", "tokens", threshold=0.9,
+                                 num_perm=mh_perms, bands=mh_perms // 8).count()
         t_minhash = time.time() - t0
 
         t0 = time.time()

@@ -84,3 +84,28 @@ def test_rule_extraction_loosest_threshold_wins():
     rules, unc = extract_blocking_rules(m, feats)
     assert unc == 0
     assert len(rules) == 1 and rules[0].threshold == pytest.approx(0.6)
+
+
+def test_active_learning_trainer():
+    """M1 active loop: seeded, deterministic, learns the separable concept."""
+    import numpy as np
+
+    from entityblockingbysimilarityjoins_spark.matcher.random_forest import (
+        train_model_active,
+    )
+
+    rng = np.random.default_rng(0)
+    X = rng.random((1500, 6))
+    y = ((X[:, 0] + 2 * X[:, 3]) > 1.5).astype(np.int64)
+    m1 = train_model_active(X, y, feature_names=[f"f{i}" for i in range(6)],
+                            n_trees=8, sample_size=60, seed=1)
+    m2 = train_model_active(X, y, feature_names=[f"f{i}" for i in range(6)],
+                            n_trees=8, sample_size=60, seed=1)
+    acc = (m1.predict(X) == y).mean()
+    assert acc >= 0.9
+    # determinism: identical tree arrays
+    assert all(
+        np.array_equal(a.threshold, b.threshold)
+        and np.array_equal(a.feature, b.feature)
+        for a, b in zip(m1.trees, m2.trees)
+    )

@@ -138,3 +138,30 @@ def test_resample_labeled_balances_classes(spark):
     # balanced input is a no-op
     bal = spark.createDataFrame([(1, 2, 0), (3, 4, 1)], ["id1", "id2", "label"])
     assert resample_labeled(bal, "label", mode="over").count() == 2
+
+
+def test_seeded_pvdbow_groups_value_families(spark):
+    """V1 PV-DBOW: token-family values embed near each other; the doc2vec
+    grouping variant groups the paired near-identical values and keeps
+    unrelated families apart."""
+    import random
+
+    from entityblockingbysimilarityjoins_spark.value_matcher.doc2vec import (
+        group_values_doc2vec,
+    )
+
+    rng = random.Random(5)
+    fams = [["ultrabook", "pro", "laptop", "15", "inch", "slim"],
+            ["kitchen", "mixer", "deluxe", "500", "watt", "steel"]]
+    vals = [[" ".join(rng.sample(f, rng.randint(3, 5))) for _ in range(25)]
+            for f in fams]
+    pairs = [(a, b) for fam in vals
+             for a, b in zip(fam, fam[1:])] + [(vals[0][0], vals[1][0])]
+    vp = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs if a != b], ["v1", "v2"])
+    groups = group_values_doc2vec(vp, tau=0.6, seed=1)
+    g = {r["value"]: r["representative"] for r in groups.collect()}
+    reps0 = {g[v] for v in vals[0] if v in g}
+    reps1 = {g[v] for v in vals[1] if v in g}
+    # each family collapses to few representatives, and they do not merge
+    assert reps0 and reps1 and reps0.isdisjoint(reps1)
