@@ -138,8 +138,13 @@ def minhash_lsh_pairs(
     bands: int = 32,
     seed: int = 1,
     sim_col: str = "jac",
+    group_identical: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs (id1 < id2) with verified exact Jaccard >= threshold."""
+    """Near-dup pairs (id1 < id2) with verified exact Jaccard >= threshold.
+
+    ``group_identical`` (default on): identical token sets join as ONE
+    set-level row — the right default on duplicate-heavy web corpora; turn
+    off on corpora with few exact duplicates to skip the extra groupBy."""
     if num_perm % bands != 0:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
@@ -147,13 +152,20 @@ def minhash_lsh_pairs(
     # abundant in web corpora): signatures are computed once per DISTINCT
     # set, the banded join runs over distinct sets, intra-set pairs are
     # jaccard 1.0 by identity, cross pairs expand from the member lists
-    base = (
+    slim = (
         df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
         .filter(F.size("toks") > 0)
-        .groupBy("toks")
-        # deterministic group key (min member id) — stable across cache loss,
-        # unlike a monotonically_increasing_id surrogate (ADVICE r2)
-        .agg(F.collect_list("rid").alias("members"), F.min("rid").alias("gid"))
+    )
+    if group_identical:
+        grouped = slim.groupBy("toks").agg(
+            # deterministic group key (min member id) — stable across cache
+            # loss, unlike a monotonically_increasing_id surrogate (ADVICE r2)
+            F.collect_list("rid").alias("members"), F.min("rid").alias("gid"))
+    else:
+        grouped = slim.select(F.col("toks"), F.array("rid").alias("members"),
+                              F.col("rid").alias("gid"))
+    base = (
+        grouped
         .withColumn("__h", F.transform("toks", lambda t: F.xxhash64(t)))
         .withColumn("__sig", minhash_signature(F.col("__h"), num_perm, seed))
         .persist()

@@ -6,7 +6,10 @@ automated checks:
 - filters on scan columns are pushed (PushedFilters non-empty where expected),
 - WholeStageCodegen spans exist (expressions stay JVM-side),
 - no CartesianProduct / BroadcastNestedLoopJoin in join-based queries
-  (except the deliberately-exact brute-force ANN oracle path).
+  (except the deliberately-exact brute-force ANN oracle path),
+- LSH band-bucket exchanges are id-only: no hashpartitioning(band, ...)
+  exchange may carry an array-typed column (embedding payloads re-attach
+  AFTER candidate dedup via hash joins — r3 fix for the r2 "weak" item).
 
 Usage: python scripts/plan_audit.py [sf_dir] [query ...]
 """
@@ -24,6 +27,7 @@ from entityblockingbysimilarityjoins_spark.session import get_spark  # noqa: E40
 AUDIT = [
     "set_join_jaccard", "overlap_join", "edit_distance_join", "block_union",
     "minhash_dedup", "simhash_dedup", "text_stats", "exact_dedup_groups",
+    "ann_lsh_topk", "embedding_neardup",
 ]
 
 
@@ -37,6 +41,12 @@ def audit(name: str, plan: str) -> list[str]:
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         if bad in plan and name != "ann_topk":
             problems.append(f"{bad} present")
+    # band-bucket exchanges must not shuffle embedding arrays (id-only joins)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(band" in line and (
+                "_e#" in line or "ArrayType" in line):
+            problems.append("band exchange carries an array payload")
+            break
     return problems
 
 

@@ -156,3 +156,25 @@ def test_embedding_neardup_blas_equals_brute(spark):
     blas = {(r["id1"], r["id2"]) for r in
             embedding_neardup_pairs(df, "rid", "e", threshold=t, method="blas").collect()}
     assert blas == brute
+
+
+def test_minhash_group_identical_toggle(spark):
+    """group_identical=False must produce the identical pair set (identical
+    sets then meet in the banded join instead of the intra-group expansion)."""
+    from pyspark.sql import functions as F
+
+    from entityblockingbysimilarityjoins_spark.functions.tokenize import tokens_wspace
+    from entityblockingbysimilarityjoins_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "alpha beta gamma delta") for i in range(4)] + [
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "zz yy xx ww vv uu"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "s"]).withColumn(
+        "tokens", tokens_wspace("s"))
+    a = {(r["id1"], r["id2"], round(r["jac"], 9)) for r in
+         minhash_lsh_pairs(df, "rid", "tokens", threshold=0.7).collect()}
+    b = {(r["id1"], r["id2"], round(r["jac"], 9)) for r in
+         minhash_lsh_pairs(df, "rid", "tokens", threshold=0.7,
+                           group_identical=False).collect()}
+    assert a == b and len(a) >= 6 + 4  # 4-clique at 1.0 + cross pairs
