@@ -194,6 +194,16 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    method="blas").withColumn("cos", F.round("cos", 6))
 
 
+def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH scale path of embedding near-dup (md5 hyperplane bands +
+    id-only band join + exact verify) — full approximate pipeline reproduced
+    in the SQL oracle, like ann_lsh_topk."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3,
+                                   method="lsh", n_planes=6, n_bands=8,
+                                   ).withColumn("cos", F.round("cos", 6))
+
+
 def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_bruteforce_topk(emb, emb, "vec_id", "embedding", k=5).withColumn(
@@ -531,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash,
         "ngram_dedup": _q_ngram_dedup,
         "embedding_neardup": _q_emb_neardup,
+        "embedding_neardup_lsh": _q_emb_neardup_lsh,
         "ann_topk": _q_ann,
         "ann_lsh_topk": _q_ann_lsh,
         "text_stats": _q_text_stats,
@@ -865,6 +876,25 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
        round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3""",
+        # the LSH scale path of embedding near-dup, fully reproduced: md5
+        # hyperplanes (seed 7), 8 bands x 6 sign bits, band-bucket
+        # candidates, exact cosine verify at the threshold
+        "embedding_neardup_lsh": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pl AS (SELECT qq.q AS q, dd.d AS d,
+        ((('0x' || substr(md5('pl:7:' || qq.q::VARCHAR || ':' || dd.d::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS w
+       FROM (SELECT unnest(range(48)) AS q) qq, (SELECT unnest(range(64)) AS d) dd),
+proj AS (SELECT e.vec_id, pl.q, sum(e.emb[pl.d + 1] * pl.w) AS s
+         FROM e, pl GROUP BY 1, 2),
+sig AS (SELECT vec_id, q // 6 AS band,
+               sum(CASE WHEN s >= 0 THEN (1::BIGINT << (q % 6)) ELSE 0 END) AS bv
+        FROM proj GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         FROM sig a JOIN sig b ON a.band = b.band AND a.bv = b.bv
+         WHERE a.vec_id < b.vec_id)
+SELECT c.id1, c.id2, round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.id1 JOIN e eb ON eb.vec_id = c.id2
+WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.3""",
         "ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 scored AS (

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "rule_topk",
     "value_grouping",
     "string_sim_bulk",
+    "embedding_neardup_lsh",
 ]
 
 
