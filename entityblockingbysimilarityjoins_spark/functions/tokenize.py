@@ -70,18 +70,24 @@ def tokens_alphanumeric(col: Column | str) -> Column:
 def tokens_qgram(col: Column | str, q: int = 3) -> Column:
     """T2: q-grams = all fully-alphanumeric q-char windows, deduped + sorted.
 
-    Equivalent to the reference's pad+window+alnum-filter (see module doc).
+    Equivalent to the reference's pad+window+alnum-filter (see module doc),
+    computed as the q-windows of each MAXIMAL alphanumeric run: a window is
+    fully alphanumeric iff it lies inside one run, so one regex pass
+    (regexp_extract_all) replaces a per-gram rlike inside the HOF lambda —
+    HOF lambdas are interpreted, and the per-element regex dominated
+    tokenization cost on long documents.
     """
     c = F.col(col) if isinstance(col, str) else col
-    n_windows = F.greatest(F.length(c) - F.lit(q - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.substring(c, i, q),
-    )
-    # sequence(1, 0) raises in ANSI; guard empty strings with when()
-    grams = F.when(n_windows > 0, grams).otherwise(F.array().cast("array<string>"))
-    alnum = F.filter(grams, lambda g: g.rlike("^[a-zA-Z0-9]+$") & (F.length(g) == q))
-    return F.coalesce(F.array_sort(F.array_distinct(alnum)), F.array().cast("array<string>"))
+    runs = F.regexp_extract_all(c, F.lit("[a-zA-Z0-9]+"), 0)
+    grams = F.flatten(F.transform(
+        runs,
+        lambda r: F.when(
+            F.length(r) >= q,
+            F.transform(F.sequence(F.lit(1), F.length(r) - F.lit(q - 1)),
+                        lambda i: r.substr(i, F.lit(q))),
+        ).otherwise(F.array().cast("array<string>")),
+    ))
+    return F.coalesce(F.array_sort(F.array_distinct(grams)), F.array().cast("array<string>"))
 
 
 def normalize_string(col: Column | str, strategy: int = 0) -> Column:
