@@ -117,12 +117,17 @@ def main() -> None:
 
         t0 = time.time()
         wtoks = records.select("url", tokens_wspace(F.col("text")).alias("tokens"))
-        # perms configurable: 128/16 bands keeps banding recall >1-1e-4 at
-        # s>=0.9 and halves the signature work vs 256/32 (r3: amortize the
-        # memory-bandwidth-bound stage that capped 4->16 efficiency)
-        mh_perms = int(os.environ.get("SPARK_GRAFT_MH_PERMS", "128"))
+        # perms/rows-per-band configurable. r = rows per band controls the
+        # candidate explosion: the probe (scripts/minhash_stage_probe.py)
+        # showed r=8 emits ~73 band candidates per true pair on the variant-
+        # heavy corpus (mid-similarity entity pairs collide), making the
+        # candidate-dedup shuffle the scaling bottleneck; r=12 cuts the
+        # mid-sim collision rate ~3x at 99.5% banding recall for jac>=0.9.
+        mh_perms = int(os.environ.get("SPARK_GRAFT_MH_PERMS", "192"))
+        mh_rows = int(os.environ.get("SPARK_GRAFT_MH_ROWS", "12"))
         n_mh = minhash_lsh_pairs(wtoks, "url", "tokens", threshold=0.9,
-                                 num_perm=mh_perms, bands=mh_perms // 8).count()
+                                 num_perm=mh_perms,
+                                 bands=mh_perms // mh_rows).count()
         t_minhash = time.time() - t0
 
         t0 = time.time()
