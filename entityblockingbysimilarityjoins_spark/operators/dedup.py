@@ -15,6 +15,12 @@ the dedup primitives a 100 TB corpus pipeline needs, each Spark-native:
   recall at Jaccard s is 1-(1-s^r)^b; defaults (b=32, r=8) give per-pair
   miss probability <2e-8 at s>=0.9 while colliding far fewer mid-similarity
   pairs than shallow bands — verification then makes the *output* exact w.h.p.
+  **r is the scale knob**: on corpora dense in MID-similarity pairs (entity
+  variants at jac 0.6-0.85) r=8 floods the candidate-dedup shuffle (~73
+  band candidates per true pair measured on a variant-heavy 1.25M-page
+  corpus — scripts/minhash_stage_probe.py); r=12 (e.g. 192/16) cuts the
+  mid-sim collision rate ~3x and costs only ~0.5% banding recall at s=0.9.
+  Keep r=8 when the exact-recall contract matters more than the shuffle.
 - ``simhash_pairs``: 60-bit simhash over md5-derived token hashes, computed
   entirely with SQL higher-order functions (aggregate + zip_with) so the
   signature is engine-portable (DuckDB reproduces it bit-for-bit for the
