@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E
+from entityblockingbysimilarityjoins_spark.operators.cache import release_cached
 from entityblockingbysimilarityjoins_spark.session import get_spark
 
 #: benchmarked subset (the expensive, representative operators)
@@ -66,6 +67,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
+        release_cached()  # drop operator-internal persisted intermediates
         timings[name] = round(time.time() - t0, 3)
         if name == "set_join_jaccard":
             candidate_pairs = n

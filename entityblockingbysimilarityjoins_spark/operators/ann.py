@@ -29,6 +29,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import persist_tracked
+
 #: corpus matrices above this size are never broadcast whole (driver safety)
 DEFAULT_MAX_BROADCAST_BYTES = 256 << 20
 
@@ -143,7 +145,7 @@ def ann_bruteforce_topk(
         raise ValueError(impl)
 
     id_type = dict(queries.select(F.col(id_col)).dtypes)[id_col]
-    c = c.persist()
+    c = persist_tracked(c)
     n_rows, dim = c.select(
         F.count("*").alias("n"), F.first(F.size("neighbor_e")).alias("d")
     ).first()
@@ -160,7 +162,7 @@ def ann_bruteforce_topk(
     # sharded: the driver holds ONE shard at a time while creating its
     # broadcast; per-shard top-k lists are unioned and merged by one window
     # over |Q| * n_shards * k rows.
-    q = q.persist()
+    q = persist_tracked(q)
     parts = []
     for b in range(int(n_shards)):
         shard = c.filter(F.pmod(F.xxhash64("neighbor_id"), F.lit(int(n_shards))) == b)
@@ -196,8 +198,8 @@ def ann_lsh_topk(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    q = _prep(queries, id_col, emb_col, "query").persist()
-    c = _prep(corpus, id_col, emb_col, "neighbor").persist()
+    q = persist_tracked(_prep(queries, id_col, emb_col, "query"))
+    c = persist_tracked(_prep(corpus, id_col, emb_col, "neighbor"))
     if dim is None:
         dim = len(q.select("query_e").first()["query_e"])
     planes = md5_planes(seed, n_bands * n_planes, dim)

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokens_qgram, tokens_wspace
+from .cache import persist_tracked
 from .set_join import set_similarity_self_join
 
 _MERSENNE31 = (1 << 31) - 1  # minhash modulus: keeps a*h+b < 2^62 (ANSI-safe)
@@ -174,8 +175,8 @@ def minhash_lsh_pairs(
         grouped
         .withColumn("__h", F.transform("toks", lambda t: F.xxhash64(t)))
         .withColumn("__sig", minhash_signature(F.col("__h"), num_perm, seed))
-        .persist()
     )
+    base = persist_tracked(base)
     bands_df = base.select(
         "gid",
         F.size("toks").alias("len"),
@@ -334,8 +335,8 @@ def simhash_pairs(
         .groupBy("rid")
         .agg(F.collect_list("__th").alias("__h"))
         .withColumn("__sig", simhash_signature_numpy(F.col("__h")))
-        .persist()
     )
+    base = persist_tracked(base)
     mask = (1 << width) - 1
     block_structs = [
         F.struct(
@@ -410,8 +411,8 @@ def embedding_neardup_pairs(
         df.select(F.col(id_col).alias("rid"), F.col(emb_col).cast("array<double>").alias("e"))
         .withColumn("__n", F.sqrt(_dot(F.col("e"), F.col("e"))))
         .filter(F.col("__n") > 0)
-        .persist()
     )
+    base = persist_tracked(base)
     if method == "auto":
         n_rows, d = base.select(
             F.count("*").alias("n"), F.first(F.size("e")).alias("d")
@@ -479,7 +480,8 @@ def embedding_neardup_pairs(
         ).select(
             "rid",
             F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(n_bands)])).alias("band", "bv"),
-        ).persist()
+        )
+        bands_df = persist_tracked(bands_df)
         l = bands_df.select(F.col("rid").alias("rid1"), "band", "bv")
         r = bands_df.select(F.col("rid").alias("rid2"), "band", "bv")
         cand = (

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.dictionary import build_dictionary, encode_tokens
+from .cache import persist_tracked
 
 log = logging.getLogger(__name__)
 
@@ -183,7 +184,7 @@ def _prepare(
                 )
             ),
         ).drop("idfs")
-    return enc.persist()
+    return persist_tracked(enc)
 
 
 def _entries(
@@ -336,7 +337,7 @@ def set_similarity_self_join(
     if dictionary is None:
         dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
     if weighted:
-        dictionary = dictionary.persist()
+        dictionary = persist_tracked(dictionary)
     # literal-vs-map verification path chosen by VOCAB SIZE, not trust in the
     # caller's flag: oversized vocabularies never collect to the driver
     idf_arr = _idf_literal(dictionary, weighted, broadcast_dict,
@@ -357,8 +358,8 @@ def set_similarity_self_join(
             .agg(F.collect_list("rid").alias("members"),
                  F.min("rid").alias("rid"),
                  *[F.first(c).alias(c) for c in keep])
-            .persist()
         )
+        groups = persist_tracked(groups)
         work = groups
     else:
         work = enc
@@ -435,7 +436,7 @@ def set_similarity_rs_join(
         )
         dictionary = build_dictionary(union)
     if weighted:
-        dictionary = dictionary.persist()
+        dictionary = persist_tracked(dictionary)
     idf_arr = _idf_literal(dictionary, weighted, broadcast_dict,
                            max_idf_literal_entries)
     need_map = weighted and idf_arr is None

@@ -33,6 +33,10 @@ import posixpath
 import time
 from collections.abc import Callable
 
+from py4j.protocol import Py4JJavaError
+
+from ..operators.cache import release_cached
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -159,6 +163,7 @@ class StageCheckpointer:
             return df
         t0 = time.time()
         fn().write.mode("overwrite").parquet(path)
+        release_cached()  # stage output is on disk; drop operator caches
         df = self.spark.read.parquet(path)
         lineage = partition_lineage(df)
         seconds = round(time.time() - t0, 3)
@@ -220,6 +225,14 @@ class StageCheckpointer:
         try:
             if not _fs_exists(self.spark, p):
                 return None
-            return json.loads(_fs_read_text(self.spark, p))
-        except Exception:  # unreadable/corrupt manifest -> rerun the stage
+            raw = _fs_read_text(self.spark, p)
+        except Py4JJavaError as e:  # FS-level IO failure (auth, missing class)
+            log.warning("checkpoint manifest %s unreadable, stage will rerun: %s",
+                        p, e)
+            return None
+        try:
+            return json.loads(raw)
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:  # corrupt
+            log.warning("checkpoint manifest %s corrupt, stage will rerun: %s",
+                        p, e)
             return None

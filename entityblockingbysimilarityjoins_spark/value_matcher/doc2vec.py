@@ -139,8 +139,8 @@ def group_values_doc2vec(
 ) -> DataFrame:
     """V2+V3 with PV-DBOW embeddings: cosine-label the value pairs, group by
     connectivity (same contract as ``interchangeable.group_values``)."""
-    from ..operators.connected_components import connected_components
     from .embed import cosine_sim
+    from .interchangeable import group_edges
 
     vals = value_pairs.select(F.col("v1").alias("value")).unionAll(
         value_pairs.select(F.col("v2").alias("value")))
@@ -153,6 +153,4 @@ def group_values_doc2vec(
         .withColumn("cos", cosine_sim(F.col("e1"), F.col("e2")))
     )
     edges = scored.filter(F.col("cos") >= tau).select("v1", "v2")
-    comp = connected_components(edges, "v1", "v2")
-    return comp.select(F.col("node").alias("value"),
-                       F.col("component").alias("representative"))
+    return group_edges(edges, closure)

@@ -67,6 +67,13 @@ def group_values(
                           hashed_embedding(F.col("v2"), dim, seed))
     )
     edges = scored.filter(F.col("cos") >= tau).select("v1", "v2")
+    return group_edges(edges, closure)
+
+
+def group_edges(edges: DataFrame, closure: str = "cc") -> DataFrame:
+    """Shared V3 closure step over an already-labeled (v1, v2) edge list:
+    'cc' = connected components; '2hop' = the reference's bounded mode
+    (min representative over the <=2-hop neighborhood via one self-join)."""
     if closure == "cc":
         comp = connected_components(edges, "v1", "v2")
         return comp.select(F.col("node").alias("value"),
