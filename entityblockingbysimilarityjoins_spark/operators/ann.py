@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .cache import persist_tracked
+from .dedup import cap_band_buckets
 
 #: corpus matrices above this size are never broadcast whole (driver safety)
 DEFAULT_MAX_BROADCAST_BYTES = 256 << 20
@@ -190,6 +191,7 @@ def ann_lsh_topk(
     seed: int = 11,
     dim: int | None = None,
     exclude_self: bool = True,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = same hyperplane-sign band bucket.
 
@@ -235,6 +237,9 @@ def ann_lsh_topk(
 
     qs = sig(q, "query")
     cs = sig(c, "neighbor")
+    # overflow valve (corpus side only: a hot CORPUS bucket multiplies
+    # against every query landing in it — query buckets are |Q|-bounded)
+    cs = cap_band_buckets(cs, ("band", "bv"), max_band_bucket, "ann_lsh_topk")
     cand = (
         qs.join(cs, ["band", "bv"])
         .select("query_id", "neighbor_id")

@@ -36,6 +36,8 @@ the dedup primitives a 100 TB corpus pipeline needs, each Spark-native:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -44,6 +46,9 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import tokens_qgram, tokens_wspace
 from .cache import persist_tracked
 from .set_join import set_similarity_self_join
+
+log = logging.getLogger(__name__)
+
 
 _MERSENNE31 = (1 << 31) - 1  # minhash modulus: keeps a*h+b < 2^62 (ANSI-safe)
 _SIMHASH_BITS = 60  # 15 hex chars of md5 — fits a positive BIGINT in any engine
@@ -136,6 +141,51 @@ def minhash_signature(tokens_hashed: Column, num_perm: int = 128, seed: int = 1,
     return pandas_udf(_sig, "array<long>")(tokens_hashed)
 
 
+
+def cap_band_buckets(
+    bands_df: DataFrame,
+    keys: tuple[str, ...],
+    cap: int | None,
+    label: str = "lsh",
+) -> DataFrame:
+    """Overflow valve for LSH band buckets (the band-join analogue of the set
+    joins' ``max_token_freq``, mirroring the reference's hard inverted-list
+    caps ``cpp/common/config.h:109-110``).
+
+    Banding math bounds EXPECTED bucket sizes, but a pathological bucket
+    (boilerplate corpora, adversarial near-identical shards) still emits
+    |bucket|^2 candidate rows. With ``cap`` set, buckets holding more than
+    ``cap`` rows are dropped ENTIRELY before the self/RS join — a row pair
+    that only collides in an oversized bucket is lost (recall caveat, logged
+    with the measured drop), matching the reference's drop-the-hot-list
+    semantics rather than sampling inside the bucket (which would make the
+    output nondeterministic). ``cap=None`` (the default) is a no-op, so
+    existing results are byte-identical unless the caller opts in.
+
+    The stats pass is one map-side-combinable count over ``bands_df`` (whose
+    lineage is already persisted by every caller), so the eager check adds no
+    second signature computation.
+    """
+    if cap is None:
+        return bands_df
+    if cap < 2:
+        raise ValueError("cap must allow at least one pair per bucket")
+    sizes = bands_df.groupBy(*keys).agg(F.count("*").alias("__bc"))
+    n_over, rows_over = (
+        sizes.filter(F.col("__bc") > cap)
+        .agg(F.count("*"), F.coalesce(F.sum("__bc"), F.lit(0)))
+        .first()
+    )
+    if not n_over:
+        return bands_df
+    log.warning(
+        "%s: dropping %d band buckets over cap %d (%d signature rows; pairs "
+        "colliding only there are missed unless another band catches them — "
+        "recall caveat)", label, n_over, cap, rows_over)
+    keep = sizes.filter(F.col("__bc") <= cap).select(*keys)
+    return bands_df.join(keep, list(keys), "left_semi")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -146,12 +196,14 @@ def minhash_lsh_pairs(
     seed: int = 1,
     sim_col: str = "jac",
     group_identical: bool = True,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id1 < id2) with verified exact Jaccard >= threshold.
 
     ``group_identical`` (default on): identical token sets join as ONE
     set-level row — the right default on duplicate-heavy web corpora; turn
-    off on corpora with few exact duplicates to skip the extra groupBy."""
+    off on corpora with few exact duplicates to skip the extra groupBy.
+    ``max_band_bucket``: optional overflow valve — see ``cap_band_buckets``."""
     if num_perm % bands != 0:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
@@ -187,6 +239,8 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bh"),
     )
+    bands_df = cap_band_buckets(bands_df, ("band", "bh"), max_band_bucket,
+                                "minhash_lsh_pairs")
     # fan-out repartition (see set_join): band buckets emit far more
     # candidate rows than they hold — keep the probe side wide
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -310,6 +364,7 @@ def simhash_pairs(
     tokens_col: str,
     hamming_k: int = 3,
     dist_col: str = "hamming",
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs (id1 < id2) with simhash hamming distance <= k (exact via pigeonhole).
 
@@ -348,6 +403,7 @@ def simhash_pairs(
     blk = base.select(
         "rid", "__sig", F.explode(F.array(*block_structs)).alias("blk")
     ).select("rid", "__sig", F.col("blk.b").alias("b"), F.col("blk.v").alias("v"))
+    blk = cap_band_buckets(blk, ("b", "v"), max_band_bucket, "simhash_pairs")
     l = blk.withColumnsRenamed({"rid": "rid1", "__sig": "s1"})
     r = blk.withColumnsRenamed({"rid": "rid2", "__sig": "s2"})
     cand = (
@@ -398,6 +454,7 @@ def embedding_neardup_pairs(
     dim: int | None = None,
     sim_col: str = "cos",
     max_broadcast_bytes: int | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. 'brute' is exact; 'lsh' buckets by
     md5-derived random-hyperplane sign bands then verifies exactly (the
@@ -482,6 +539,8 @@ def embedding_neardup_pairs(
             F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(n_bands)])).alias("band", "bv"),
         )
         bands_df = persist_tracked(bands_df)
+        bands_df = cap_band_buckets(bands_df, ("band", "bv"), max_band_bucket,
+                                    "embedding_neardup_pairs")
         l = bands_df.select(F.col("rid").alias("rid1"), "band", "bv")
         r = bands_df.select(F.col("rid").alias("rid2"), "band", "bv")
         cand = (

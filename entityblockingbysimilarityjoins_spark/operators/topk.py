@@ -58,13 +58,42 @@ def topk_via_ta(
     tokens_col: str = "tokens",
     score_col: str = "score",
 ) -> DataFrame:
-    """K1: global top-K candidate pairs by the 4-sim TA score (self or RS)."""
-    scored = attach_pair_tokens(pairs, tokens_df, id_col, tokens_col).withColumn(
-        score_col, ta_score(F.col("__t1"), F.col("__t2"))
+    """K1: global top-K candidate pairs by the 4-sim TA score (self or RS).
+
+    The score is a pure function of the two TOKEN SETS, so records with
+    identical sets (abundant on duplicate-heavy web corpora — the same
+    grouping the set joins exploit) need only one ``array_intersect`` per
+    distinct set pair: group records by token set, score the distinct
+    (group, group) pairs present in ``pairs``, then hash-join the score back
+    onto the expanded pairs. The candidate-level exchanges carry only int
+    group keys, never token arrays, and the final global top-K is still one
+    ``TakeOrderedAndProject`` (per-partition partial top-K + driver merge)
+    over trivially-scored rows."""
+    from .cache import persist_tracked
+
+    t = tokens_df.select(F.col(id_col).alias("__rid"),
+                         F.col(tokens_col).alias("__toks"))
+    grouped = persist_tracked(
+        t.groupBy("__toks").agg(F.collect_list("__rid").alias("__members"),
+                                F.min("__rid").alias("__gid"))
+    )
+    m = grouped.select(F.explode("__members").alias("__rid"), "__gid")
+    rep = grouped.select("__gid", "__toks")
+    p2 = persist_tracked(
+        pairs.join(m.withColumnsRenamed({"__rid": "id1", "__gid": "__g1"}), "id1")
+        .join(m.withColumnsRenamed({"__rid": "id2", "__gid": "__g2"}), "id2")
+    )
+    scored_gp = (
+        p2.select("__g1", "__g2").distinct()
+        .join(rep.withColumnsRenamed({"__gid": "__g1", "__toks": "__t1"}), "__g1")
+        .join(rep.withColumnsRenamed({"__gid": "__g2", "__toks": "__t2"}), "__g2")
+        .select("__g1", "__g2",
+                ta_score(F.col("__t1"), F.col("__t2")).alias(score_col))
     )
     other = [c for c in pairs.columns if c not in ("id1", "id2")]
     return (
-        scored.select("id1", "id2", *other, score_col)
+        p2.join(scored_gp, ["__g1", "__g2"])
+        .select("id1", "id2", *other, score_col)
         .orderBy(F.desc(score_col), F.asc("id1"), F.asc("id2"))
         .limit(k)
     )

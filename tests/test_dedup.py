@@ -178,3 +178,63 @@ def test_minhash_group_identical_toggle(spark):
          minhash_lsh_pairs(df, "rid", "tokens", threshold=0.7,
                            group_identical=False).collect()}
     assert a == b and len(a) >= 6 + 4  # 4-clique at 1.0 + cross pairs
+
+
+def _adversarial_near_identical(n=120, vocab=40):
+    """n docs sharing a large template, each with one private token: every
+    band bucket of the template-dominated signature holds ~all n rows."""
+    base = " ".join(f"tmpl{i}" for i in range(vocab))
+    return [(i, f"{base} uniq{i}") for i in range(n)]
+
+
+def test_band_bucket_valve_minhash(spark):
+    from pyspark.sql import functions as F
+
+    from entityblockingbysimilarityjoins_spark.functions.tokenize import tokens_wspace
+    from entityblockingbysimilarityjoins_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(_adversarial_near_identical(), ["rid", "s"]) \
+        .withColumn("tokens", tokens_wspace("s"))
+    full = minhash_lsh_pairs(df, "rid", "tokens", threshold=0.9).count()
+    capped = minhash_lsh_pairs(df, "rid", "tokens", threshold=0.9,
+                               max_band_bucket=16).count()
+    # every distinct set collides in (almost) every band; the valve drops the
+    # oversized buckets, so the adversarial clique never reaches the join
+    assert full > 5000          # n*(n-1)/2-ish without the valve
+    assert capped < full * 0.05
+
+    # valve off -> byte-identical results (the correctness contract)
+    a = {tuple(r) for r in
+         minhash_lsh_pairs(df, "rid", "tokens", threshold=0.9).collect()}
+    b = {tuple(r) for r in
+         minhash_lsh_pairs(df, "rid", "tokens", threshold=0.9,
+                           max_band_bucket=None).collect()}
+    assert a == b
+
+
+def test_band_bucket_valve_simhash_and_embedding(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from entityblockingbysimilarityjoins_spark.functions.tokenize import tokens_wspace
+    from entityblockingbysimilarityjoins_spark.operators.dedup import (
+        embedding_neardup_pairs, simhash_pairs)
+
+    df = spark.createDataFrame(_adversarial_near_identical(80), ["rid", "s"]) \
+        .withColumn("tokens", tokens_wspace("s"))
+    full = simhash_pairs(df, "rid", "tokens", hamming_k=3).count()
+    capped = simhash_pairs(df, "rid", "tokens", hamming_k=3,
+                           max_band_bucket=8).count()
+    assert full > 1000 and capped < full * 0.05
+
+    rng = np.random.default_rng(3)
+    head = rng.normal(size=24)
+    rows = [(i, (np.concatenate([head, rng.normal(size=2) * 1e-3])).tolist())
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, ["rid", "e"])
+    efull = embedding_neardup_pairs(emb, "rid", "e", threshold=0.99,
+                                    method="lsh", n_planes=6, n_bands=4).count()
+    ecapped = embedding_neardup_pairs(emb, "rid", "e", threshold=0.99,
+                                      method="lsh", n_planes=6, n_bands=4,
+                                      max_band_bucket=8).count()
+    assert efull > 1000 and ecapped < efull * 0.05
