@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "value_grouping",
     "string_sim_bulk",
     "embedding_neardup_lsh",
+    # round-4: the composed block->features->predict->cluster chain
+    "pipeline_match_res",
+    "knn_filter",
 ]
 
 

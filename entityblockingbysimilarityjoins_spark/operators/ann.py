@@ -253,3 +253,79 @@ def ann_lsh_topk(
         dot_udf(F.col("query_e"), F.col("neighbor_e")) / (F.col("query_n") * F.col("neighbor_n")),
     )
     return _topk(scored, k)
+
+
+def knn_filter_matches(
+    matches: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    emb_col: str,
+    k: int = 5,
+    predicted_col: str | None = None,
+    keep_cos: bool = False,
+) -> DataFrame:
+    """M6 KNN-filter slice (reference
+    ``simjoin_entitymatching/matcher/search.py:28-219``): demote a candidate
+    pair unless each side ranks inside the other's embedding-cosine top-k
+    AMONG ITS MATCHED PARTNERS.
+
+    The reference builds one faiss index per query id whose corpus is exactly
+    the partner list from the match table (``_get_word_embeddings`` buckets
+    by ltable_id/rtable_id), searches top-K both ways, and zeroes
+    ``predicted`` for pairs failing either direction (``_slim_match_tab``).
+    Per-bucket KNN over the pair list is precisely two window ranks in Spark
+    — no global index build, no shuffle beyond the two rank exchanges, and
+    plain SQL ``row_number`` semantics, so the whole filter has a DuckDB
+    oracle. Ties (faiss leaves them arrival-ordered) are pinned to
+    (cos DESC, partner id ASC) — our standing determinism rule.
+
+    ``predicted_col=None`` drops failing pairs; otherwise the column is
+    ANDed with survival, keeping the reference's demote-don't-drop shape.
+    Buckets with <= k partners keep every pair (the reference's short-bucket
+    early-out falls out of ``row_number() <= k`` for free).
+    """
+    e = (
+        embeddings.select(F.col(id_col).alias("__kid"),
+                          F.col(emb_col).cast("array<double>").alias("__ke"))
+        .withColumn("__kn", F.sqrt(_dot(F.col("__ke"), F.col("__ke"))))
+    )
+    scored = (
+        matches
+        .join(e.withColumnsRenamed(
+            {"__kid": "id1", "__ke": "__e1", "__kn": "__n1"}), "id1")
+        .join(e.withColumnsRenamed(
+            {"__kid": "id2", "__ke": "__e2", "__kn": "__n2"}), "id2")
+        .withColumn(
+            "__cos",
+            F.when((F.col("__n1") > 0) & (F.col("__n2") > 0),
+                   _dot(F.col("__e1"), F.col("__e2"))
+                   / (F.col("__n1") * F.col("__n2"))).otherwise(F.lit(0.0)))
+        .drop("__e1", "__e2", "__n1", "__n2")
+    )
+    # symmetrize before ranking: in a SELF pair list with canonical id1<id2
+    # an id's partners are split across both columns, so the per-id bucket is
+    # the union of its forward and reverse appearances (for an RS table each
+    # id only ever occurs on one side and this reduces to the naive window)
+    sym = scored.select(F.col("id1").alias("__u"), F.col("id2").alias("__v"),
+                        "__cos").unionByName(
+        scored.select(F.col("id2").alias("__u"), F.col("id1").alias("__v"),
+                      "__cos"))
+    wk = Window.partitionBy("__u").orderBy(F.desc("__cos"), F.asc("__v"))
+    edge_rank = sym.withColumn("__r", F.row_number().over(wk))
+    ranked = (
+        scored
+        .join(edge_rank.select(F.col("__u").alias("id1"),
+                               F.col("__v").alias("id2"),
+                               F.col("__r").alias("__r1")), ["id1", "id2"])
+        .join(edge_rank.select(F.col("__v").alias("id1"),
+                               F.col("__u").alias("id2"),
+                               F.col("__r").alias("__r2")), ["id1", "id2"])
+    )
+    keep = (F.col("__r1") <= k) & (F.col("__r2") <= k)
+    if predicted_col is None:
+        out = ranked.filter(keep)
+    else:
+        out = ranked.withColumn(predicted_col, F.col(predicted_col) & keep)
+    if keep_cos:
+        out = out.withColumn("knn_cos", F.col("__cos"))
+    return out.drop("__cos", "__r1", "__r2")

@@ -120,3 +120,50 @@ def test_ann_native_equals_blas(spark):
     b = {(r["query_id"], r["rank"]): r["neighbor_id"]
          for r in ann_bruteforce_topk(df, df, "rid", "e", k=4, impl="blas").collect()}
     assert a == b
+
+
+def test_knn_filter_matches_brute_force(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from entityblockingbysimilarityjoins_spark.operators.ann import (
+        knn_filter_matches,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d, k = 40, 8, 3
+    vecs = {i: rng.normal(size=d) for i in range(n)}
+    emb = spark.createDataFrame([(i, v.tolist()) for i, v in vecs.items()],
+                                "vec_id int, embedding array<double>")
+    # candidate pairs: two overlapping mod-buckets (uneven partner counts,
+    # some buckets smaller than k -> the short-bucket early-out)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+             if i % 5 == j % 5 or i % 11 == j % 11]
+    pdf = spark.createDataFrame(pairs, "id1 int, id2 int")
+
+    got = {(r["id1"], r["id2"]) for r in
+           knn_filter_matches(pdf, emb, "vec_id", "embedding", k=k).collect()}
+
+    # driver-side brute force of the reference semantics: per-id top-k among
+    # its matched partners, forward AND reverse must both keep the pair
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    partners: dict[int, list[int]] = {}
+    for i, j in pairs:
+        partners.setdefault(i, []).append(j)
+        partners.setdefault(j, []).append(i)
+    topk = {
+        i: set(sorted(ps, key=lambda j: (-cos(vecs[i], vecs[j]), j))[:k])
+        for i, ps in partners.items()
+    }
+    want = {(i, j) for i, j in pairs if j in topk[i] and i in topk[j]}
+    assert got == want and 0 < len(want) < len(pairs)
+
+    # demote-don't-drop mode keeps every row, flips the flag
+    flagged = knn_filter_matches(
+        pdf.withColumn("match", F.lit(True)), emb, "vec_id", "embedding",
+        k=k, predicted_col="match")
+    rows = flagged.collect()
+    assert len(rows) == len(pairs)
+    assert {(r["id1"], r["id2"]) for r in rows if r["match"]} == want
