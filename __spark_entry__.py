@@ -8,6 +8,7 @@ arithmetic are kept bit-compatible between both engines (same operand order).
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -214,6 +215,67 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_lsh_topk(emb, emb, "vec_id", "embedding", k=5).withColumn(
         "cos", F.round("cos", 6))
+
+
+_STREAM_SEQ = itertools.count()
+
+
+def _run_stream_to_table(out, name_prefix: str) -> str:
+    """Drive a streaming DF to a memory sink with Trigger.AvailableNow and
+    return the (unique) table name once the source is exhausted."""
+    name = f"{name_prefix}_{next(_STREAM_SEQ)}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return name
+
+
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a stream with deterministic event times
+    (epoch + doc_id seconds — the table carries no timestamp column)."""
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long")
+        .option("pathGlobFilter", "documents.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    return stream.withColumn(
+        "warc_ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")))
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup == batch first-per-fingerprint: dedup_stream
+    (dropDuplicatesWithinWatermark on the content fingerprint) over the
+    document corpus replayed as one AvailableNow batch. The input file is a
+    single split read in doc_id order, so "first seen" per fingerprint is
+    min(doc_id) — exactly the batch representative the oracle computes."""
+    from entityblockingbysimilarityjoins_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    src = _doc_stream(spark, sf_dir).withColumn(
+        "head8", F.substring("text", 1, 8))  # corpus has no full-text dups;
+    # the 8-char head (the blocking key) collides on real duplicate groups
+    out = dedup_stream(src, ts_col="warc_ts", text_col="head8")
+    name = _run_stream_to_table(out, "stream_dedup")
+    return spark.table(name).select("doc_id").orderBy("doc_id")
+
+
+def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming simhash near-dup suppression (applyInPandasWithState) over
+    the corpus replayed as one AvailableNow batch. Sequential greedy
+    suppression per bucket is not SQL-expressible — rows-only driver check;
+    the row-for-row batch equivalence lives in
+    tests/test_io_density_streaming.py::test_neardup_stream_equals_batch_greedy."""
+    from entityblockingbysimilarityjoins_spark.streaming.dedup_stream import (
+        neardup_stream,
+    )
+
+    out = neardup_stream(_doc_stream(spark, sf_dir), id_col="doc_id",
+                         ts_col="warc_ts", text_col="text", hamming_k=3)
+    name = _run_stream_to_table(out, "stream_neardup")
+    return spark.table(name).select("doc_id", "sig").orderBy("doc_id")
 
 
 def _q_knn_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_sim_bulk": _q_string_sim_bulk,
         "pipeline_match_res": _q_pipeline_match_res,
         "knn_filter": _q_knn_filter,
+        "stream_dedup": _q_stream_dedup,
+        "stream_neardup": _q_stream_neardup,
     }
 
 
@@ -1170,6 +1234,11 @@ FROM wo JOIN rw r1 ON r1.doc_id = id1 JOIN rw r2 ON r2.doc_id = id2""",
         "rule_topk": _sql_rule_topk(),
         "value_grouping": _sql_value_grouping(),
         "pipeline_match_res": _sql_pipeline_match_res(),
+        "stream_dedup": """
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(lower(trim(regexp_replace(substring(text, 1, 8), '\\s+', ' ', 'g'))))
+ORDER BY doc_id""",
         "knn_filter": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 p AS (SELECT a.vec_id AS id1, b.vec_id AS id2

@@ -71,7 +71,8 @@ def neardup_stream(
         .select(id_col, ts_col, "__sig", "__bucket")
     )
 
-    out_schema = f"{id_col} string, {ts_col} timestamp, sig long"
+    id_type = dict(pages_stream.dtypes)[id_col]  # urls or numeric doc ids
+    out_schema = f"{id_col} {id_type}, {ts_col} timestamp, sig long"
     state_schema = "sigs array<long>"
 
     def dedup(key, pdfs, state: GroupState):

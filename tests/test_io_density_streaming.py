@@ -125,3 +125,61 @@ def test_neardup_stream_stateful(spark, tmp_path):
     urls = {r["url"] for r in spark.sql("select url from nd_out").collect()}
     assert "u3" in urls
     assert len({"u1", "u2"} & urls) == 1  # the near-dup pair collapsed
+
+
+def _sf0001_doc_stream(spark):
+    import __spark_entry__ as E
+
+    return E._doc_stream(spark, "/root/testdata/sf0.001")
+
+
+def test_dedup_stream_equals_batch(spark):
+    """Streaming exact dedup over the real corpus (AvailableNow replay) ==
+    batch min-id-per-fingerprint, row for row."""
+    import __spark_entry__ as E
+    from entityblockingbysimilarityjoins_spark.functions.text_stats import (
+        fingerprint,
+    )
+
+    got = [r["doc_id"] for r in
+           E._q_stream_dedup(spark, "/root/testdata/sf0.001").collect()]
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(
+        r["doc_id"] for r in
+        batch.withColumn("__fp", fingerprint(F.substring("text", 1, 8)))
+        .groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).collect())
+    assert got == want and 0 < len(want) < batch.count()
+
+
+def test_neardup_stream_equals_batch_greedy(spark):
+    """Streaming simhash suppression over the real corpus == a driver-side
+    greedy replay (same signatures from the batch expression, same per-bucket
+    event-time order), row for row."""
+    import __spark_entry__ as E
+    from entityblockingbysimilarityjoins_spark.functions.tokenize import (
+        tokens_wspace,
+    )
+    from entityblockingbysimilarityjoins_spark.operators.dedup import (
+        md5_token_hash,
+        simhash_signature,
+    )
+
+    k = 3
+    got = [(r["doc_id"], r["sig"]) for r in
+           E._q_stream_neardup(spark, "/root/testdata/sf0.001").collect()]
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = simhash_signature(F.transform(tokens_wspace(F.col("text")),
+                                        md5_token_hash))
+    rows = (batch.withColumn("__sig", sig)
+            .select("doc_id", "__sig").orderBy("doc_id").collect())
+    state: dict[int, list[int]] = {}
+    want = []
+    for r in rows:  # event time == doc_id order, exactly the stream's replay
+        s = int(r["__sig"])
+        bucket = s & ((1 << 15) - 1)
+        sigs = state.setdefault(bucket, [])
+        if all(bin(s ^ t).count("1") > k for t in sigs):
+            sigs.append(s)
+            want.append((r["doc_id"], s))
+    assert got == sorted(want) and 0 < len(want) < len(rows)
