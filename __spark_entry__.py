@@ -602,6 +602,62 @@ def _q_string_sim_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_pairs(d: DataFrame, per_doc: int) -> DataFrame:
+    """EXACTLY per_doc synthetic partners per document (deterministic stride,
+    wrapping modulo the contiguous id range) — the scoring-scale pair
+    generator: per_doc=200 over the 5,000-doc sf0.1 corpus = 10^6 pairs."""
+    n = d.count()  # doc_id is 0..n-1 contiguous in the synthetic corpus
+    return (
+        d.select("doc_id",
+                 F.explode(F.sequence(F.lit(1), F.lit(per_doc))).alias("k"))
+        .select(F.col("doc_id").alias("id1"),
+                F.pmod(F.col("doc_id") + F.col("k") * 37, F.lit(n)).alias("id2"))
+        .filter(F.col("id1") != F.col("id2"))
+    )
+
+
+def _q_string_sim_bulk_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring-scale bench variant (VERDICT r3 #7): ~200 partners/doc ->
+    ~10^6 JW+ME scorings at sf0.1, the regime the numpy batch path
+    (functions/jw_numpy.py) was built for. Rows-only driver check: values
+    are the same code path string_sim_bulk already hash-verifies."""
+    from entityblockingbysimilarityjoins_spark.functions.sim import (
+        jaro_winkler,
+        monge_elkan,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("h40"),
+        F.substring("text", 1, 60).alias("h60"),
+    )
+    pairs = _synthetic_pairs(d, 200)
+    l = d.withColumnsRenamed({"doc_id": "id1", "h40": "a40", "h60": "a60"})
+    r = d.withColumnsRenamed({"doc_id": "id2", "h40": "b40", "h60": "b60"})
+    return (
+        pairs.join(l, "id1").join(r, "id2")
+        .select("id1", "id2",
+                F.round(jaro_winkler(F.col("a40"), F.col("b40")), 6).alias("jw"),
+                F.round(monge_elkan(F.col("a60"), F.col("b60")), 6).alias("me"))
+    )
+
+
+def _q_feature_matrix_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring-scale feature matrix (VERDICT r3 #7): the full 17-column
+    native feature matrix over ~10^6 synthetic pairs at sf0.1. Rows-only
+    driver check: per-feature values are hash-verified by feature_matrix."""
+    from entityblockingbysimilarityjoins_spark.matcher.features import (
+        extract_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = _synthetic_pairs(docs.select("doc_id"), 200)
+    feats = doc_features()
+    m = extract_features(pairs, docs, "doc_id", feats)
+    return m.select("id1", "id2",
+                    *[F.round(F.col(f.name), 6).alias(f.name) for f in feats])
+
+
 def _q_weighted_ovlp_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weightedOverlapCoeff over jac>=0.8 candidate pairs (simfunc.cc:265)."""
     from entityblockingbysimilarityjoins_spark.functions.dictionary import (
@@ -674,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filter": _q_knn_filter,
         "stream_dedup": _q_stream_dedup,
         "stream_neardup": _q_stream_neardup,
+        "string_sim_bulk_1m": _q_string_sim_bulk_1m,
+        "feature_matrix_1m": _q_feature_matrix_1m,
     }
 
 

@@ -48,7 +48,14 @@ BENCH_QUERIES = [
     # round-4: the composed block->features->predict->cluster chain
     "pipeline_match_res",
     "knn_filter",
+    # round-4: scoring-scale regime (10^6 pairs at sf0.1) for the numpy
+    # JW/ME batch path and the native 17-column feature matrix
+    "string_sim_bulk_1m",
+    "feature_matrix_1m",
 ]
+
+#: queries whose rows == scored pairs; bench reports pairs/sec for these
+SCORING_QUERIES = ("string_sim_bulk_1m", "feature_matrix_1m")
 
 
 def main() -> None:
@@ -65,6 +72,7 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
+    scoring_rates: dict[str, float] = {}
     candidate_pairs = 0
     t_all = time.time()
     for name in BENCH_QUERIES:
@@ -74,6 +82,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         if name == "set_join_jaccard":
             candidate_pairs = n
+        if name in SCORING_QUERIES and timings[name] > 0:
+            scoring_rates[name] = round(n / timings[name], 1)
     total = round(time.time() - t_all, 3)
 
     out = {
@@ -85,6 +95,7 @@ def main() -> None:
         "cpus": cpus,
         "blocking_pairs_per_sec": round(candidate_pairs / timings["set_join_jaccard"], 1)
         if timings.get("set_join_jaccard") else None,
+        "scoring_pairs_per_sec": scoring_rates,
     }
     spark.stop()
     print(json.dumps(out))
