@@ -162,9 +162,10 @@ def cap_band_buckets(
     output nondeterministic). ``cap=None`` (the default) is a no-op, so
     existing results are byte-identical unless the caller opts in.
 
-    The stats pass is one map-side-combinable count over ``bands_df`` (whose
-    lineage is already persisted by every caller), so the eager check adds no
-    second signature computation.
+    The stats pass is one eager map-side-combinable count over ``bands_df``.
+    The dedup callers persist the signature base it derives from, so the
+    check re-reads cached signatures; ``ann_lsh_topk`` recomputes its band
+    UDF once more for the stats (cap=None skips all of this).
     """
     if cap is None:
         return bands_df

@@ -129,7 +129,13 @@ def generate_pages(
             yield pd.DataFrame(rows, columns=[
                 "url", "warc_ts", "html", "text", "lang", "entity_id"])
 
-    out = spark.range(n_entities).mapInPandas(gen, schema=schema)
+    # bound the per-partition working set: ~50k entities (~125k pages) per
+    # generation slice regardless of core count, so small-heap executors
+    # (local-cluster scaling runs) never materialize gigabyte partitions
+    n_parts = max(spark.sparkContext.defaultParallelism,
+                  n_entities // 50_000 or 1)
+    out = spark.range(0, n_entities, numPartitions=n_parts) \
+        .mapInPandas(gen, schema=schema)
     return out if with_entity_id else out.drop("entity_id")
 
 
