@@ -607,12 +607,17 @@ def _synthetic_pairs(d: DataFrame, per_doc: int) -> DataFrame:
     wrapping modulo the contiguous id range) — the scoring-scale pair
     generator: per_doc=200 over the 5,000-doc sf0.1 corpus = 10^6 pairs."""
     n = d.count()  # doc_id is 0..n-1 contiguous in the synthetic corpus
+    spark = d.sparkSession
     return (
         d.select("doc_id",
                  F.explode(F.sequence(F.lit(1), F.lit(per_doc))).alias("k"))
         .select(F.col("doc_id").alias("id1"),
                 F.pmod(F.col("doc_id") + F.col("k") * 37, F.lit(n)).alias("id2"))
         .filter(F.col("id1") != F.col("id2"))
+        # the exploded list inherits the tiny input's ONE partition and the
+        # dimension joins broadcast — without this the 10^6-pair scoring
+        # would run on a single core
+        .repartition(2 * spark.sparkContext.defaultParallelism)
     )
 
 
@@ -634,12 +639,15 @@ def _q_string_sim_bulk_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _synthetic_pairs(d, 200)
     l = d.withColumnsRenamed({"doc_id": "id1", "h40": "a40", "h60": "a60"})
     r = d.withColumnsRenamed({"doc_id": "id2", "h40": "b40", "h60": "b60"})
-    return (
+    out = (
         pairs.join(l, "id1").join(r, "id2")
         .select("id1", "id2",
                 F.round(jaro_winkler(F.col("a40"), F.col("b40")), 6).alias("jw"),
                 F.round(monge_elkan(F.col("a60"), F.col("b60")), 6).alias("me"))
     )
+    # always-true filter over BOTH scores: bench counts rows, and without
+    # this Catalyst would prune the score columns right out of a count()
+    return out.filter(F.col("jw") + F.col("me") > F.lit(-1.0))
 
 
 def _q_feature_matrix_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,8 +662,13 @@ def _q_feature_matrix_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _synthetic_pairs(docs.select("doc_id"), 200)
     feats = doc_features()
     m = extract_features(pairs, docs, "doc_id", feats)
-    return m.select("id1", "id2",
-                    *[F.round(F.col(f.name), 6).alias(f.name) for f in feats])
+    out = m.select("id1", "id2",
+                   *[F.round(F.col(f.name), 6).alias(f.name) for f in feats])
+    # force every feature column under count() (NULL-able -> coalesce);
+    # always true, so the row set is unchanged
+    total = sum((F.coalesce(F.col(f.name), F.lit(0.0)) for f in feats[1:]),
+                F.coalesce(F.col(feats[0].name), F.lit(0.0)))
+    return out.filter(total > F.lit(float("-1e18")))
 
 
 def _q_weighted_ovlp_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
