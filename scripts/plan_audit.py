@@ -28,6 +28,10 @@ AUDIT = [
     "set_join_jaccard", "overlap_join", "edit_distance_join", "block_union",
     "minhash_dedup", "simhash_dedup", "text_stats", "exact_dedup_groups",
     "ann_lsh_topk", "embedding_neardup",
+    # r4: composed inference chain, KNN match filter, topk group scoring,
+    # and the million-pair scoring regime
+    "pipeline_match_res", "knn_filter", "topk_ta",
+    "string_sim_bulk_1m", "feature_matrix_1m",
 ]
 
 
