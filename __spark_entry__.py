@@ -155,6 +155,36 @@ def _q_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_self(df, "doc_id", _BLOCK_RULES)
 
 
+def _q_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 as a one-row query: recall / |C| / CSSR of the rule-union blocker
+    against the h16 pseudo-gold (blocker.py::blocking_metrics semantics,
+    ref block.cc:316-321), computed declaratively so the whole metric rides
+    one job: three aggregates cross-joined."""
+    cand = _q_block(spark, sf_dir).select("id1", "id2")
+    d = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, 16).alias("h16"))
+    gold = (
+        d.withColumnsRenamed({"doc_id": "id1", "h16": "h"})
+        .join(d.withColumnsRenamed({"doc_id": "id2", "h16": "h"}), "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    hits = cand.join(gold, ["id1", "id2"], "left_semi")         .agg(F.count("*").alias("hits"))
+    n_gold = gold.agg(F.count("*").alias("n_gold"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_rows = _docs(spark, sf_dir).agg(F.count("*").alias("n_rows"))
+    return (
+        hits.crossJoin(n_gold).crossJoin(n_cand).crossJoin(n_rows)
+        .select(
+            F.round(F.col("hits") / F.col("n_gold"), 6).alias("recall"),
+            F.col("n_cand").alias("candidates"),
+            F.col("n_gold").alias("gold"),
+            F.round(F.col("n_cand")
+                    / (F.col("n_rows") * (F.col("n_rows") - 1) / 2), 9)
+            .alias("cssr"),
+        )
+    )
+
+
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _doc_tokens(spark, sf_dir)
     pairs = set_similarity_self_join(toks, "rid", "tokens", "jac", 0.8).select("id1", "id2")
@@ -573,6 +603,36 @@ def _q_value_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("source").alias("source_norm"))
 
 
+def _q_ic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/V6: IC-aware feature matrix over the source attribute — feature =
+    MAX over all member-value combinations of the two sides' IC groups (min
+    for lev_dist; same-group short-circuits), ref cpp/feature/cal_feature.cc:
+    37-317. Groups come from the SAME md5-count-embedding value grouping the
+    value_grouping oracle proves; the 8-char-head pairs are the feature_matrix
+    blocking. Upgrades the F3 pillar from pytest-only to a full oracle."""
+    from entityblockingbysimilarityjoins_spark.value_matcher.interchangeable import (
+        extract_features_ic,
+        group_values,
+        value_pairs_from_matches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", F.substring("text", 1, 16).alias("h16"))
+    matches = (
+        d.withColumnsRenamed({"doc_id": "id1", "h16": "h"})
+        .join(d.withColumnsRenamed({"doc_id": "id2", "h16": "h"}), "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    vp = value_pairs_from_matches(matches, docs, "doc_id", "source")
+    groups = group_values(vp, tau=0.5, dim=64, seed=0)
+    feats = [f for f in doc_features() if f.attr == "source"]
+    m = extract_features_ic(_pairs_only(spark, sf_dir), docs, "doc_id", feats,
+                            {"source": groups})
+    return m.select("id1", "id2",
+                    *[F.round(F.col(f.name), 6).alias(f.name) for f in feats])
+
+
 def _q_string_sim_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scoring-scale string sims: ~30 pairs per document (10^5-pair regime at
     sf0.1) through the numpy-vectorized Jaro-Winkler + Monge-Elkan batch path
@@ -743,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filter": _q_knn_filter,
         "stream_dedup": _q_stream_dedup,
         "stream_neardup": _q_stream_neardup,
+        "blocking_metrics": _q_blocking_metrics,
+        "ic_features": _q_ic_features,
         "string_sim_bulk_1m": _q_string_sim_bulk_1m,
         "feature_matrix_1m": _q_feature_matrix_1m,
     }
@@ -879,6 +941,62 @@ SELECT node, min(comp) AS component FROM (
 ) GROUP BY node"""
 
 
+def _sql_ic_features() -> str:
+    """The IC-max feature matrix in DuckDB: the value-grouping CTE chain
+    supplies comp(node, rep); member lists + per-member qgm3 token sets are
+    materialized per record; each feature is a nested list_transform max
+    (min for lev) over the member cross product, with the same-group
+    short-circuit and NULL-on-empty rules of extract_features_ic."""
+    qgm = ("list_sort(list_distinct(list_filter("
+           "list_transform(range(1, greatest(length(m) - 2, 0) + 1), "
+           "i -> substring(m, i, 3)), "
+           "x -> regexp_matches(x, '^[a-zA-Z0-9]{3}$'))))")
+    jac = ("CASE WHEN (len(ta) + len(tb) - len(list_intersect(ta, tb))) > 0 "
+           "THEN len(list_intersect(ta, tb))::DOUBLE "
+           "/ (len(ta) + len(tb) - len(list_intersect(ta, tb))) ELSE 0.0 END")
+    cos = ("CASE WHEN sqrt((len(ta) * len(tb))::DOUBLE) > 0 "
+           "THEN len(list_intersect(ta, tb))::DOUBLE "
+           "/ sqrt((len(ta) * len(tb))::DOUBLE) ELSE 0.0 END")
+
+    def cross(expr: str, agg: str = "list_max") -> str:
+        # max/min over the member cross product (a from left, b from right)
+        return (f"{agg}(flatten(list_transform(l.mem, "
+                f"a -> list_transform(r.mem, b -> {expr}))))")
+
+    def cross_tok(expr: str) -> str:
+        return (f"list_max(flatten(list_transform(l.mt, "
+                f"ta -> list_transform(r.mt, tb -> {expr}))))")
+
+    empty = ("l.source IS NULL OR l.source = '' "
+             "OR r.source IS NULL OR r.source = ''")
+    same = "l.rep = r.rep"
+    f_exm = (f"CASE WHEN {empty} THEN NULL WHEN {same} THEN 1.0 "
+             f"ELSE {cross('CASE WHEN a = b THEN 1.0 ELSE 0.0 END')} END")
+    f_lev = (f"CASE WHEN {empty} THEN NULL WHEN {same} THEN 0.0 "
+             f"ELSE {cross('abs(levenshtein(a, b)::DOUBLE)', 'list_min')} END")
+    f_jac = (f"CASE WHEN {empty} THEN NULL WHEN {same} THEN 1.0 "
+             f"ELSE {cross_tok(jac)} END")
+    f_cos = (f"CASE WHEN {empty} THEN NULL WHEN {same} THEN 1.0 "
+             f"ELSE {cross_tok(cos)} END")
+    return f"""
+WITH {_VG_CTES},
+mem AS (SELECT rep, list_sort(list(node)) AS ms FROM comp GROUP BY rep),
+recm AS (SELECT d0.doc_id, d0.source,
+         substring(d0.text, 1, 8) AS blk,
+         coalesce(comp.rep, d0.source) AS rep,
+         coalesce(mem.ms, [d0.source]) AS mem
+         FROM documents d0
+         LEFT JOIN comp ON comp.node = d0.source
+         LEFT JOIN mem ON mem.rep = coalesce(comp.rep, d0.source)),
+rect AS (SELECT *, list_transform(mem, m -> {qgm}) AS mt FROM recm)
+SELECT l.doc_id AS id1, r.doc_id AS id2,
+  round({f_exm}, 6) AS source_source_exact_match,
+  round({f_lev}, 6) AS source_source_lev_dist,
+  round({f_jac}, 6) AS source_source_jac_qgm_3_qgm_3,
+  round({f_cos}, 6) AS source_source_cos_qgm_3_qgm_3
+FROM rect l JOIN rect r ON l.blk = r.blk AND l.doc_id < r.doc_id"""
+
+
 def _sql_rule_topk() -> str:
     """SQL replica of estimate_rule_density + score_pairs_by_rules + top-K
     for _DENSITY_RULES (jac-dlm text >= 0.8; lev head <= 3; anm n_chars >=
@@ -928,12 +1046,10 @@ ORDER BY (0.0 + w0 * r0 + w1 * (1.0 / (1.0 + r1)) + w2 * r2) DESC,
 LIMIT 200"""
 
 
-def _sql_value_grouping() -> str:
-    """SQL replica of the md5 char-3gram count embedding, integer-exact
-    cosine edges (tau 0.5), recursive-CTE connected components, and value
-    normalization to the min-of-group representative."""
-    return """
-WITH d AS (SELECT doc_id, source, substring(text, 1, 16) AS h16 FROM documents),
+#: value-grouping CTE chain (md5 count embedding -> integer-exact cosine
+#: edges at tau 0.5 -> recursive-CTE CC) ending in comp(node, rep); shared by
+#: the value_grouping and ic_features oracles
+_VG_CTES = """d AS (SELECT doc_id, source, substring(text, 1, 16) AS h16 FROM documents),
 m AS (SELECT a.source AS s1, b.source AS s2
       FROM d a JOIN d b ON a.h16 = b.h16 AND a.doc_id < b.doc_id),
 vp AS (SELECT DISTINCT least(s1, s2) AS v1, greatest(s1, s2) AS v2 FROM m
@@ -964,7 +1080,15 @@ comp AS (SELECT node, min(c) AS rep FROM (
     UNION
     SELECT e.v, w.c FROM walk w JOIN ed2 e ON e.u = w.node WHERE w.c < e.v
   ) SELECT node, c FROM walk
-) GROUP BY node)
+) GROUP BY node)"""
+
+
+def _sql_value_grouping() -> str:
+    """SQL replica of the md5 char-3gram count embedding, integer-exact
+    cosine edges (tau 0.5), recursive-CTE connected components, and value
+    normalization to the min-of-group representative."""
+    return f"""
+WITH {_VG_CTES}
 SELECT d0.doc_id, coalesce(comp.rep, d0.source) AS source_norm
 FROM documents d0 LEFT JOIN comp ON comp.node = d0.source"""
 
@@ -998,7 +1122,7 @@ _SQL_TA_SCORE = (
 
 def oracle_sql() -> dict[str, str]:
     jac = f"{_OVLP}::DOUBLE / (len(a.tokens) + len(b.tokens) - {_OVLP})"
-    return {
+    out = {
         "set_join_jaccard": _sql_set_join("jac", 0.8),
         "set_join_cosine": _sql_set_join("cos", 0.85),
         "set_join_dice": _sql_set_join("dice", 0.85),
@@ -1305,6 +1429,7 @@ FROM wo JOIN rw r1 ON r1.doc_id = id1 JOIN rw r2 ON r2.doc_id = id2""",
         "rule_topk": _sql_rule_topk(),
         "value_grouping": _sql_value_grouping(),
         "pipeline_match_res": _sql_pipeline_match_res(),
+        "ic_features": _sql_ic_features(),
         "stream_dedup": """
 SELECT min(doc_id) AS doc_id
 FROM documents
@@ -1339,3 +1464,23 @@ SELECT a.doc_id AS id1, b.doc_id AS id2,
 FROM d a CROSS JOIN (SELECT unnest(range(1, 31)) AS k) k
      JOIN d b ON b.doc_id = a.doc_id + 37 * k.k""",
     }
+
+    # U3 blocking metrics: one row of recall/|C|/CSSR over the SAME
+    # block-union candidate set, reusing its oracle SQL as a subquery
+    out["blocking_metrics"] = f"""
+WITH cand AS (SELECT id1, id2 FROM ({out['block_union']}) bu),
+d16 AS (SELECT doc_id, substring(text, 1, 16) AS h16 FROM documents),
+gold AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         FROM d16 a JOIN d16 b ON a.h16 = b.h16 AND a.doc_id < b.doc_id),
+agg AS (SELECT
+  (SELECT count(*) FROM cand c WHERE EXISTS
+     (SELECT 1 FROM gold g WHERE g.id1 = c.id1 AND g.id2 = c.id2)) AS hits,
+  (SELECT count(*) FROM gold) AS n_gold,
+  (SELECT count(*) FROM cand) AS n_cand,
+  (SELECT count(*) FROM documents) AS n_rows)
+SELECT round(hits::DOUBLE / n_gold, 6) AS recall,
+       n_cand AS candidates,
+       n_gold AS gold,
+       round(n_cand::DOUBLE / (n_rows::DOUBLE * (n_rows - 1) / 2), 9) AS cssr
+FROM agg"""
+    return out
