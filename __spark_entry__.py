@@ -633,6 +633,74 @@ def _q_ic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[F.round(F.col(f.name), 6).alias(f.name) for f in feats])
 
 
+def _q_value_grouping_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4: the reference's BOUNDED closure mode (cpp/group/graph.h:69-71 —
+    only two-hop neighbors are deduced, further hops are NOT followed) over
+    the same integer-exact cosine edges as value_grouping. Output is the
+    (value, representative) table; representative = min over the <=2-hop
+    neighborhood, so noisy embeddings give tighter groups than full CC."""
+    from entityblockingbysimilarityjoins_spark.value_matcher.interchangeable import (
+        group_values,
+        value_pairs_from_matches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", F.substring("text", 1, 16).alias("h16"))
+    matches = (
+        d.withColumnsRenamed({"doc_id": "id1", "h16": "h"})
+        .join(d.withColumnsRenamed({"doc_id": "id2", "h16": "h"}), "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    vp = value_pairs_from_matches(matches, docs, "doc_id", "source")
+    return group_values(vp, tau=0.5, dim=64, seed=0, closure="2hop")
+
+
+def _q_rematch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 composed: first-pass frozen-forest predictions over the blocked
+    pairs, then rematch_negatives re-scores the negatives with IC-max
+    features (source grouped by the proven value grouping) and returns
+    positives UNION recovered (ref matcher/match.py:135-166). The oracle
+    rebuilds the identical chain: F2 features + CASE-tree forest for pass 1,
+    the icf CTE's unrounded IC source features swapped in for pass 2."""
+    from entityblockingbysimilarityjoins_spark.matcher.features import (
+        extract_features,
+    )
+    from entityblockingbysimilarityjoins_spark.matcher.persist import (
+        load_model,
+        packaged_model_path,
+    )
+    from entityblockingbysimilarityjoins_spark.matcher.random_forest import (
+        apply_matcher,
+    )
+    from entityblockingbysimilarityjoins_spark.value_matcher.interchangeable import (
+        group_values,
+        rematch_negatives,
+        value_pairs_from_matches,
+    )
+
+    model = load_model(packaged_model_path())
+    docs = _docs(spark, sf_dir)
+    feats = doc_features()
+    m = extract_features(_pairs_only(spark, sf_dir), docs, "doc_id", feats)
+    predicted = apply_matcher(m, model)
+    d = docs.select("doc_id", F.substring("text", 1, 16).alias("h16"))
+    matches = (
+        d.withColumnsRenamed({"doc_id": "id1", "h16": "h"})
+        .join(d.withColumnsRenamed({"doc_id": "id2", "h16": "h"}), "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    vp = value_pairs_from_matches(matches, docs, "doc_id", "source")
+    groups = group_values(vp, tau=0.5, dim=64, seed=0)
+    # recovery threshold 0.25: the frozen forest lifts IC-consistent pairs
+    # to ~0.29 max on this corpus, so 0.5 would recover nothing (vacuous);
+    # 0.25 recovers pairs INCLUDING ones at p0 = 0 that only pass because
+    # the IC features changed them — the V7 semantics under test
+    return rematch_negatives(predicted, docs, "doc_id", feats, model,
+                             {"source": groups}, threshold=0.25)
+
+
 def _q_string_sim_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scoring-scale string sims: ~30 pairs per document (10^5-pair regime at
     sf0.1) through the numpy-vectorized Jaro-Winkler + Monge-Elkan batch path
@@ -805,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup": _q_stream_neardup,
         "blocking_metrics": _q_blocking_metrics,
         "ic_features": _q_ic_features,
+        "rematch_res": _q_rematch,
+        "value_grouping_2hop": _q_value_grouping_2hop,
         "string_sim_bulk_1m": _q_string_sim_bulk_1m,
         "feature_matrix_1m": _q_feature_matrix_1m,
     }
@@ -941,12 +1011,11 @@ SELECT node, min(comp) AS component FROM (
 ) GROUP BY node"""
 
 
-def _sql_ic_features() -> str:
-    """The IC-max feature matrix in DuckDB: the value-grouping CTE chain
-    supplies comp(node, rep); member lists + per-member qgm3 token sets are
-    materialized per record; each feature is a nested list_transform max
-    (min for lev) over the member cross product, with the same-group
-    short-circuit and NULL-on-empty rules of extract_features_ic."""
+def _sql_ic_core() -> tuple[str, str]:
+    """(CTE chunk, final-select) for the IC-max source features — the CTE
+    chunk ends in ``icf(id1, id2, 4 UNROUNDED feature cols)`` so the V7
+    rematch oracle can feed the exact doubles into the CASE-tree forest;
+    the final select rounds for the ic_features oracle row."""
     qgm = ("list_sort(list_distinct(list_filter("
            "list_transform(range(1, greatest(length(m) - 2, 0) + 1), "
            "i -> substring(m, i, 3)), "
@@ -978,8 +1047,7 @@ def _sql_ic_features() -> str:
              f"ELSE {cross_tok(jac)} END")
     f_cos = (f"CASE WHEN {empty} THEN NULL WHEN {same} THEN 1.0 "
              f"ELSE {cross_tok(cos)} END")
-    return f"""
-WITH {_VG_CTES},
+    ctes = f"""{_VG_CTES},
 mem AS (SELECT rep, list_sort(list(node)) AS ms FROM comp GROUP BY rep),
 recm AS (SELECT d0.doc_id, d0.source,
          substring(d0.text, 1, 8) AS blk,
@@ -988,13 +1056,62 @@ recm AS (SELECT d0.doc_id, d0.source,
          FROM documents d0
          LEFT JOIN comp ON comp.node = d0.source
          LEFT JOIN mem ON mem.rep = coalesce(comp.rep, d0.source)),
-rect AS (SELECT *, list_transform(mem, m -> {qgm}) AS mt FROM recm)
-SELECT l.doc_id AS id1, r.doc_id AS id2,
-  round({f_exm}, 6) AS source_source_exact_match,
-  round({f_lev}, 6) AS source_source_lev_dist,
-  round({f_jac}, 6) AS source_source_jac_qgm_3_qgm_3,
-  round({f_cos}, 6) AS source_source_cos_qgm_3_qgm_3
-FROM rect l JOIN rect r ON l.blk = r.blk AND l.doc_id < r.doc_id"""
+rect AS (SELECT *, list_transform(mem, m -> {qgm}) AS mt FROM recm),
+icf AS (SELECT l.doc_id AS id1, r.doc_id AS id2,
+  {f_exm} AS ic_exm,
+  {f_lev} AS ic_lev,
+  {f_jac} AS ic_jac,
+  {f_cos} AS ic_cos
+FROM rect l JOIN rect r ON l.blk = r.blk AND l.doc_id < r.doc_id)"""
+    final = """SELECT id1, id2,
+  round(ic_exm, 6) AS source_source_exact_match,
+  round(ic_lev, 6) AS source_source_lev_dist,
+  round(ic_jac, 6) AS source_source_jac_qgm_3_qgm_3,
+  round(ic_cos, 6) AS source_source_cos_qgm_3_qgm_3
+FROM icf"""
+    return ctes, final
+
+
+def _sql_ic_features() -> str:
+    ctes, final = _sql_ic_core()
+    return f"WITH {ctes}\n{final}"
+
+
+def _sql_rematch() -> str:
+    """V7 in one statement: F2 features -> forest pass 1 -> negatives get
+    the icf CTE's UNROUNDED IC source features (identity-group attrs are
+    provably equal to their F2 columns, so they are reused) -> forest pass 2
+    at the 0.25 recovery threshold -> positives UNION recovered."""
+    from entityblockingbysimilarityjoins_spark.matcher.persist import (
+        forest_proba_sql,
+        load_model,
+        packaged_model_path,
+    )
+
+    model = load_model(packaged_model_path())
+    feats = {f.name: f for f in doc_features()}
+    fcols = ",\n  ".join(f'{_feat_sql(feats[n])} AS "{n}"'
+                          for n in model.feature_names)
+    proba1 = forest_proba_sql(model, [f'"{n}"' for n in model.feature_names])
+    ic_name = {"source_source_exact_match": "ic_exm",
+               "source_source_lev_dist": "ic_lev",
+               "source_source_jac_qgm_3_qgm_3": "ic_jac",
+               "source_source_cos_qgm_3_qgm_3": "ic_cos"}
+    cols2 = [f"icf.{ic_name[n]}" if n in ic_name else f'fm."{n}"'
+             for n in model.feature_names]
+    proba2 = forest_proba_sql(model, cols2)
+    ic_ctes, _ = _sql_ic_core()
+    return f"""WITH {ic_ctes},
+{_FEAT_PAIR_CTE.lstrip()},
+fm AS (SELECT id1, id2,\n  {fcols}\nFROM fp),
+pr AS (SELECT id1, id2, {proba1} AS p0 FROM fm),
+rec2 AS (SELECT fm.id1, fm.id2, {proba2} AS p1
+         FROM pr JOIN fm ON fm.id1 = pr.id1 AND fm.id2 = pr.id2
+                 JOIN icf ON icf.id1 = pr.id1 AND icf.id2 = pr.id2
+         WHERE pr.p0 < 0.5)
+SELECT id1, id2 FROM pr WHERE p0 >= 0.5
+UNION ALL
+SELECT id1, id2 FROM rec2 WHERE p1 >= 0.25"""
 
 
 def _sql_rule_topk() -> str:
@@ -1430,6 +1547,14 @@ FROM wo JOIN rw r1 ON r1.doc_id = id1 JOIN rw r2 ON r2.doc_id = id2""",
         "value_grouping": _sql_value_grouping(),
         "pipeline_match_res": _sql_pipeline_match_res(),
         "ic_features": _sql_ic_features(),
+        "rematch_res": _sql_rematch(),
+        "value_grouping_2hop": f"""
+WITH {_VG_CTES},
+two AS (SELECT a.u AS u, b.v AS v FROM ed2 a JOIN ed2 b ON a.v = b.u
+        WHERE a.u <> b.v),
+reach AS (SELECT u, v FROM ed2 UNION ALL SELECT u, v FROM two)
+SELECT u AS value, least(min(v), u) AS representative
+FROM reach GROUP BY u""",
         "stream_dedup": """
 SELECT min(doc_id) AS doc_id
 FROM documents

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     # JW/ME batch path and the native 17-column feature matrix
     "string_sim_bulk_1m",
     "feature_matrix_1m",
+    # round-4: IC-aware feature matrix + the V7 rematch second round
+    "ic_features",
+    "rematch_res",
 ]
 
 #: queries whose rows == scored pairs; bench reports pairs/sec for these
