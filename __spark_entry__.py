@@ -256,7 +256,12 @@ def _run_stream_to_table(out, name_prefix: str) -> str:
     name = f"{name_prefix}_{next(_STREAM_SEQ)}"
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout with the query still running;
+    # reading the memory sink then would present PARTIAL results as verified
+    # output. Fail loudly instead (ADVICE r4).
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain within 300s")
     return name
 
 
@@ -275,11 +280,18 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup == batch first-per-fingerprint: dedup_stream
-    (dropDuplicatesWithinWatermark on the content fingerprint) over the
-    document corpus replayed as one AvailableNow batch. The input file is a
-    single split read in doc_id order, so "first seen" per fingerprint is
-    min(doc_id) — exactly the batch representative the oracle computes."""
+    """Streaming exact dedup == batch one-survivor-per-fingerprint:
+    dedup_stream (dropDuplicatesWithinWatermark on the content fingerprint)
+    over the document corpus replayed as one AvailableNow batch.
+
+    The check is ORDER-INDEPENDENT (ADVICE r4): which row survives a
+    fingerprint group is "first seen", which with a multi-split source is
+    shuffle-order nondeterministic — so the verified invariant is group
+    membership, not the kept id: exactly one survivor per fingerprint and
+    every fingerprint covered. Output: (fp, n_kept=1) per group."""
+    from entityblockingbysimilarityjoins_spark.functions.text_stats import (
+        fingerprint,
+    )
     from entityblockingbysimilarityjoins_spark.streaming.dedup_stream import (
         dedup_stream,
     )
@@ -289,7 +301,13 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 8-char head (the blocking key) collides on real duplicate groups
     out = dedup_stream(src, ts_col="warc_ts", text_col="head8")
     name = _run_stream_to_table(out, "stream_dedup")
-    return spark.table(name).select("doc_id").orderBy("doc_id")
+    return (
+        spark.table(name)
+        .withColumn("fp", fingerprint(F.col("head8")))
+        .groupBy("fp")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("fp")
+    )
 
 
 def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,10 +1574,11 @@ reach AS (SELECT u, v FROM ed2 UNION ALL SELECT u, v FROM two)
 SELECT u AS value, least(min(v), u) AS representative
 FROM reach GROUP BY u""",
         "stream_dedup": """
-SELECT min(doc_id) AS doc_id
+SELECT md5(lower(trim(regexp_replace(substring(text, 1, 8), '\\s+', ' ', 'g')))) AS fp,
+       CAST(1 AS BIGINT) AS n_kept
 FROM documents
-GROUP BY md5(lower(trim(regexp_replace(substring(text, 1, 8), '\\s+', ' ', 'g'))))
-ORDER BY doc_id""",
+GROUP BY 1
+ORDER BY fp""",
         "knn_filter": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 p AS (SELECT a.vec_id AS id1, b.vec_id AS id2

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..operators.cache import persist_tracked
 
 
 def build_dictionary(df: DataFrame, tokens_col: str = "tokens", n_records: int | None = None) -> DataFrame:
@@ -52,7 +53,7 @@ def build_dictionary(df: DataFrame, tokens_col: str = "tokens", n_records: int |
     parts = (
         freqs.repartitionByRange(n_parts, F.asc("freq"), F.asc("token"))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .transform(persist_tracked)
     )
     sizes = parts.groupBy("__pid").agg(F.count("*").alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

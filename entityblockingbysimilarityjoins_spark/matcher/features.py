@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions import sim as S
 from ..functions.tokenize import tokenizer
+from ..operators.cache import persist_tracked
 
 
 @dataclass(frozen=True)
@@ -168,7 +169,7 @@ def extract_features(
     for cname, feat in tok_feats.items():
         fn = tokenizer(feat.tok, feat.tok_settings)
         rec = rec.withColumn(cname, fn(F.col(feat.attr)))
-    rec = rec.persist()
+    rec = rec.transform(persist_tracked)
 
     side_cols = attrs + list(tok_feats)
     l = rec.select(F.col(id_col).alias("id1"),

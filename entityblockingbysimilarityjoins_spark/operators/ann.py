@@ -283,6 +283,13 @@ def knn_filter_matches(
     ANDed with survival, keeping the reference's demote-don't-drop shape.
     Buckets with <= k partners keep every pair (the reference's short-bucket
     early-out falls out of ``row_number() <= k`` for free).
+
+    Missing embeddings (ADVICE r4): the embedding joins are LEFT joins and a
+    side with no embedding row scores cos = 0.0, so demote mode preserves the
+    full match-table row count (the pair ranks at the bottom of its bucket
+    and is demoted unless the bucket is short). In filter mode
+    (``predicted_col=None``) pairs where EITHER side lacks an embedding row
+    are dropped — a KNN filter cannot vouch for a pair it cannot score.
     """
     e = (
         embeddings.select(F.col(id_col).alias("__kid"),
@@ -292,9 +299,11 @@ def knn_filter_matches(
     scored = (
         matches
         .join(e.withColumnsRenamed(
-            {"__kid": "id1", "__ke": "__e1", "__kn": "__n1"}), "id1")
+            {"__kid": "id1", "__ke": "__e1", "__kn": "__n1"}), "id1", "left")
         .join(e.withColumnsRenamed(
-            {"__kid": "id2", "__ke": "__e2", "__kn": "__n2"}), "id2")
+            {"__kid": "id2", "__ke": "__e2", "__kn": "__n2"}), "id2", "left")
+        .withColumn("__has_emb",
+                    F.col("__n1").isNotNull() & F.col("__n2").isNotNull())
         .withColumn(
             "__cos",
             F.when((F.col("__n1") > 0) & (F.col("__n2") > 0),
@@ -323,9 +332,11 @@ def knn_filter_matches(
     )
     keep = (F.col("__r1") <= k) & (F.col("__r2") <= k)
     if predicted_col is None:
-        out = ranked.filter(keep)
+        out = ranked.filter(keep & F.col("__has_emb"))
     else:
-        out = ranked.withColumn(predicted_col, F.col(predicted_col) & keep)
+        out = ranked.withColumn(
+            predicted_col,
+            F.col(predicted_col) & keep & F.col("__has_emb"))
     if keep_cos:
         out = out.withColumn("knn_cos", F.col("__cos"))
-    return out.drop("__cos", "__r1", "__r2")
+    return out.drop("__cos", "__r1", "__r2", "__has_emb")

@@ -36,6 +36,7 @@ from .exact_join import (
 from .overlap_join import overlap_rs_join, overlap_self_join
 from .set_join import set_similarity_rs_join, set_similarity_self_join
 from .topk import cap_pairs
+from .cache import persist_tracked
 
 log = logging.getLogger(__name__)
 
@@ -53,7 +54,7 @@ class _TokenCache:
             fn = tokenizer(rule.tok, rule.tok_settings)
             self._toks[key] = df.select(
                 F.col(id_col), fn(F.col(rule.attr)).alias("tokens")
-            ).persist()
+            ).transform(persist_tracked)
         return self._toks[key]
 
     def dictionary(self, tokens_df: DataFrame, rule: Rule, n_records: int | None = None) -> DataFrame:
@@ -61,7 +62,7 @@ class _TokenCache:
         if key not in self._dicts:
             self._dicts[key] = build_dictionary(
                 tokens_df.select("tokens"), n_records=n_records
-            ).persist()
+            ).transform(persist_tracked)
         return self._dicts[key]
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .cache import persist_tracked
 
 
 def _segments_expr(length: Column, d: int) -> Column:
@@ -74,7 +75,7 @@ def edit_distance_self_join(
     slim = (
         df.select(F.col(id_col).alias("rid"), F.col(str_col).alias("s"))
         .filter(F.col("s").isNotNull() & (F.length("s") > 0))
-        .persist()
+        .transform(persist_tracked)
     )
 
     # ---- index side: own segments keyed by own length ----
@@ -156,12 +157,12 @@ def edit_distance_rs_join(
     s_slim = (
         df_s.select(F.col(id_col).alias("rid_i"), F.col(str_col).alias("s_i"))
         .filter(F.col("s_i").isNotNull() & (F.length("s_i") > 0))
-        .persist()
+        .transform(persist_tracked)
     )
     r_slim = (
         df_r.select(F.col(id_col).alias("rid_p"), F.col(str_col).alias("q"))
         .filter(F.col("q").isNotNull() & (F.length("q") > 0))
-        .persist()
+        .transform(persist_tracked)
     )
     idx = s_slim.select(
         "rid_i",

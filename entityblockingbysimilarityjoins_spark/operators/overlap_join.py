@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dictionary import build_dictionary, encode_tokens
+from .cache import persist_tracked
 
 
 def _prep(df: DataFrame, id_col: str, tokens_col: str, c: int, dictionary: DataFrame, broadcast_dict: bool) -> DataFrame:
@@ -55,7 +56,7 @@ def overlap_self_join(
     if dictionary is None:
         dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
     singletons = dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid"))
-    enc = _prep(df, id_col, tokens_col, c, dictionary, broadcast_dict).persist()
+    enc = _prep(df, id_col, tokens_col, c, dictionary, broadcast_dict).transform(persist_tracked)
     # fan-out repartition (see set_join): prefix entries are tiny relative
     # to the candidate pairs the join emits
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -93,8 +94,8 @@ def overlap_rs_join(
             df_s.select(F.col(tokens_col).alias("tokens")))
         dictionary = build_dictionary(union)
     singletons = dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid"))
-    left = _prep(df_r, id_col, tokens_col, c, dictionary, broadcast_dict).persist()
-    right = _prep(df_s, id_col, tokens_col, c, dictionary, broadcast_dict).persist()
+    left = _prep(df_r, id_col, tokens_col, c, dictionary, broadcast_dict).transform(persist_tracked)
+    right = _prep(df_s, id_col, tokens_col, c, dictionary, broadcast_dict).transform(persist_tracked)
     l = _prefix(left, c, "1", singletons)
     r = _prefix(right, c, "2", singletons)
     cand = l.join(r, l["tok"] == r["tok"]).select("rid1", "rid2").dropDuplicates(["rid1", "rid2"])

@@ -40,6 +40,7 @@ from ..functions.tokenize import tokens_qgram
 from .connected_components import connected_components
 from .overlap_join import overlap_rs_join, overlap_self_join
 from .set_join import set_similarity_rs_join, set_similarity_self_join
+from .cache import persist_tracked
 
 #: reference Sample::CLUSTER_SAMPLE_SIZE (sample.cc:7)
 CLUSTER_SAMPLE_SIZE = 100_000
@@ -67,7 +68,7 @@ def down_sample(
         df_probe.select(F.col(id_col).alias("id1"), F.col(tokens_col).alias("t1"))
         .orderBy(_md5_key(F.col("id1"), F.lit(seed)))
         .limit(n_probe)
-        .persist()
+        .transform(persist_tracked)
     )
     part = df_part.select(F.col(id_col).alias("id2"), F.col(tokens_col).alias("t2"))
     shared = (
@@ -224,7 +225,7 @@ def cluster_sample_rs(
     cand = (
         cand.orderBy(_md5_key(F.col("id1"), F.col("id2"), F.lit(seed)))
         .limit(max_pairs)
-        .persist()
+        .transform(persist_tracked)
     )
     if gold is not None:
         recall, density = get_stat(cand, gold)

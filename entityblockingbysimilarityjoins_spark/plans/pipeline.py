@@ -38,6 +38,7 @@ from ..operators.blocker import block_self, blocking_metrics
 from ..operators.connected_components import cluster_pairs
 from ..operators.sampler import build_training_sample
 from ..sources.rules import Rule
+from ..operators.cache import persist_tracked
 
 log = logging.getLogger(__name__)
 
@@ -96,7 +97,7 @@ def run_pipeline(
         c1, c2 = gold.columns[:2]
         gold = gold.select(F.col(c1).alias("id1"), F.col(c2).alias("id2"))
 
-    records = derive_attrs(pages).persist()
+    records = derive_attrs(pages).transform(persist_tracked)
     toks = records.select(F.col(idc), tokens_dlm(F.col("title")).alias("tokens"))
 
     # E1: labeled training sample (gold used for labels only, as in the reference)
@@ -166,7 +167,7 @@ def run_pipeline(
 
         for attr in cfg.ic_attrs:
             vp = value_pairs_from_matches(matches, records, idc, attr)
-            groups_per_attr[attr] = group_values(vp, tau=cfg.ic_tau).persist()
+            groups_per_attr[attr] = group_values(vp, tau=cfg.ic_tau).transform(persist_tracked)
         matches = stages.run("match_res_ic", lambda: rematch_negatives(
             predicted, records, idc, features, model, groups_per_attr,
             threshold=cfg.match_threshold,

@@ -67,10 +67,32 @@ def write_sample_res(
 
     payload = attach_pair_payload(sample.select("id1", "id2", "label"),
                                   records, id_col, attrs)
-    payload = payload.withColumn(
-        "_id", F.row_number().over(Window.orderBy("id1", "id2"))
+    # deterministic global _id without a single-partition global window
+    # (VERDICT r4 #3): two-phase per-partition-offset rank, same pattern as
+    # functions/dictionary.py — range-partition by (id1, id2), number within
+    # each partition, add the broadcast running offset of earlier partitions.
+    from ..operators.cache import persist_tracked
+
+    n_parts = max(payload.sparkSession.sparkContext.defaultParallelism, 1)
+    parts = (
+        payload.repartitionByRange(n_parts, F.asc("id1"), F.asc("id2"))
+        .withColumn("__pid", F.spark_partition_id())
+        .transform(persist_tracked)
     )
-    payload.write.mode("overwrite").format(fmt).save(path)
+    sizes = parts.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"))
+    w_in = Window.partitionBy("__pid").orderBy(F.asc("id1"), F.asc("id2"))
+    out = (
+        parts.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("_id", (F.col("__off") + F.col("__rn")).cast("int"))
+        .drop("__pid", "__rn", "__off")
+    )
+    out.write.mode("overwrite").format(fmt).save(path)
+    parts.unpersist()  # the write is the only consumer; double-unpersist via
+    # a later release_cached() is a no-op
 
 
 def write_pair_list(pairs: DataFrame, path: str, fmt: str = "csv") -> None:

@@ -11,10 +11,21 @@ grow state unboundedly).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_stats import fingerprint
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — numpy < 2.0 has no bitwise_count."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 def dedup_stream(
@@ -83,16 +94,35 @@ def neardup_stream(
         sigs = list(sigs)
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            keep = []
-            for _, row in pdf.iterrows():
-                s = int(row["__sig"])
-                if all(bin(s ^ t).count("1") > hamming_k for t in sigs):
-                    sigs.append(s)
-                    keep.append((row[id_col], row[ts_col], s))
-            if keep:
-                import pandas as pd
-
-                yield pd.DataFrame(keep, columns=[id_col, ts_col, "sig"])
+            batch = pdf["__sig"].to_numpy("uint64")
+            # vectorized probe: one XOR-popcount matrix against the bucket's
+            # whole signature state (VERDICT r4 #6 — was a per-row Python
+            # loop over state via iterrows). The sequential greedy accept
+            # runs only over rows that already cleared the state, comparing
+            # each against the (small) set accepted earlier in this batch.
+            if sigs:
+                st = np.asarray(sigs, dtype="uint64")
+                clear = ~(_popcount64(batch[:, None] ^ st[None, :])
+                          <= hamming_k).any(axis=1)
+            else:
+                clear = np.ones(len(batch), dtype=bool)
+            keep_idx: list[int] = []
+            new_sigs: list[np.uint64] = []
+            for i in np.flatnonzero(clear):
+                s = batch[i]
+                if new_sigs and bool(
+                    (_popcount64(s ^ np.asarray(new_sigs, dtype="uint64"))
+                     <= hamming_k).any()
+                ):
+                    continue
+                new_sigs.append(s)
+                keep_idx.append(int(i))
+            if keep_idx:
+                kept = pdf.iloc[keep_idx]
+                out = kept[[id_col, ts_col]].copy()
+                out["sig"] = kept["__sig"].astype("int64").to_numpy()
+                yield out
+            sigs.extend(int(s) for s in new_sigs)
         state.update((sigs,))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_horizon_ms)
 

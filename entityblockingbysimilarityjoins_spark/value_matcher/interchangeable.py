@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..operators.connected_components import connected_components
 from .embed import cosine_sim, hashed_embedding
+from ..operators.cache import persist_tracked
 
 
 def value_pairs_from_matches(
@@ -199,7 +200,7 @@ def extract_features_ic(
             f"__mtok_{attr}_{tok}_{settings}",
             F.transform(f"__mem_{attr}", lambda e: fn(e)),
         )
-    rec = rec.persist()
+    rec = rec.transform(persist_tracked)
 
     side_cols = [c for c in rec.columns if c != id_col]
     l = rec.select(F.col(id_col).alias("id1"), *[F.col(c).alias(f"l_{c}") for c in side_cols])

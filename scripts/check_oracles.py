@@ -13,6 +13,7 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 import __spark_entry__ as E  # noqa: E402
+from entityblockingbysimilarityjoins_spark.operators.cache import release_cached  # noqa: E402
 from entityblockingbysimilarityjoins_spark.session import get_spark  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -32,6 +33,7 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir).toPandas()
+        release_cached()  # mirror bench.py: don't accumulate 43 queries' intermediates
         if name not in oracles:
             print(f"{name}: rows={len(sdf)} (rows-only check, no oracle)")
             continue

@@ -135,19 +135,21 @@ def _sf0001_doc_stream(spark):
 
 def test_dedup_stream_equals_batch(spark):
     """Streaming exact dedup over the real corpus (AvailableNow replay) ==
-    batch min-id-per-fingerprint, row for row."""
+    batch one-survivor-per-fingerprint. Order-independent contract (ADVICE
+    r4): verify group coverage + exactly-one-kept, not WHICH row survived —
+    'first seen' is shuffle-order nondeterministic with multi-split sources."""
     import __spark_entry__ as E
     from entityblockingbysimilarityjoins_spark.functions.text_stats import (
         fingerprint,
     )
 
-    got = [r["doc_id"] for r in
+    got = [(r["fp"], r["n_kept"]) for r in
            E._q_stream_dedup(spark, "/root/testdata/sf0.001").collect()]
     batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     want = sorted(
-        r["doc_id"] for r in
+        (r["__fp"], 1) for r in
         batch.withColumn("__fp", fingerprint(F.substring("text", 1, 8)))
-        .groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).collect())
+        .select("__fp").distinct().collect())
     assert got == want and 0 < len(want) < batch.count()
 
 
