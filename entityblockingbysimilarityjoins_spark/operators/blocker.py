@@ -186,6 +186,90 @@ def block_rs(
     return allpairs.groupBy("id1", "id2").agg(F.count("*").cast("int").alias("rules_passed"))
 
 
+def per_rule_recall(
+    df: DataFrame,
+    id_col: str,
+    rules: list[Rule],
+    gold: DataFrame,
+    weighted: bool = False,
+) -> DataFrame:
+    """Per-rule recall/contribution table (getRecall4Rules,
+    /root/reference/cpp/blocker/block.cc:325-398) — the table a user tuning
+    blocking rules reads first. One row per (pruned) rule, ordered by rule
+    position:
+
+    - ``recall``       |C_rule ∩ gold| / |gold|
+    - ``candidates``   |C_rule|
+    - ``hits``         |C_rule ∩ gold|
+    - ``contribution`` pairs ONLY this rule found (the reference's
+      "without previous" framing, made order-independent: multiplicity-1
+      pairs instead of set-minus-the-prefix)
+    - ``cssr``         |C_rule| / (n·(n−1)/2)
+
+    Entirely declarative: each rule's pair set is tagged with its index,
+    unioned once, and every metric is a grouped aggregate over that one
+    tagged table joined to gold — no driver-side sets, one job."""
+    rules = _prune_degenerate_lev(rules)
+    if not rules:
+        raise ValueError("no blocking rules")
+    cache = _TokenCache()
+    tagged = None
+    for i, r in enumerate(rules):
+        p = _run_rule_self(df, id_col, r, cache, weighted).withColumn(
+            "rule_id", F.lit(i))
+        tagged = p if tagged is None else tagged.unionByName(p)
+    tagged = persist_tracked(tagged)
+    per_pair = tagged.groupBy("id1", "id2").agg(F.count("*").alias("__nr"))
+    g = gold.select("id1", "id2").withColumn("__hit", F.lit(1))
+    n_gold = gold.agg(F.count("*").alias("__ngold"))
+    n_rows = df.agg(F.count("*").alias("__nrows"))
+    agg = (
+        tagged.join(per_pair, ["id1", "id2"])
+        .join(g, ["id1", "id2"], "left")
+        .groupBy("rule_id")
+        .agg(
+            F.count("*").alias("candidates"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("hits"),
+            F.sum(F.when(F.col("__nr") == 1, 1).otherwise(0)).cast("long")
+            .alias("contribution"),
+        )
+    )
+    return (
+        agg.crossJoin(n_gold).crossJoin(n_rows)
+        .select(
+            "rule_id",
+            F.round(F.col("hits") / F.col("__ngold"), 6).alias("recall"),
+            "candidates",
+            "hits",
+            "contribution",
+            F.round(F.col("candidates")
+                    / (F.col("__nrows") * (F.col("__nrows") - 1) / 2), 9)
+            .alias("cssr"),
+        )
+        .orderBy("rule_id")
+    )
+
+
+def recall_by_passed_count(cand: DataFrame, gold: DataFrame) -> DataFrame:
+    """The reference's literal getRecall4Rules breakdown (block.cc:366-390):
+    bucket candidate pairs by HOW MANY rules they passed, report per-bucket
+    recall and |C|. ``cand`` is ``block_self`` output (id1, id2,
+    rules_passed)."""
+    g = gold.select("id1", "id2").withColumn("__hit", F.lit(1))
+    n_gold = gold.agg(F.count("*").alias("__ngold"))
+    return (
+        cand.join(g, ["id1", "id2"], "left")
+        .groupBy("rules_passed")
+        .agg(F.count("*").alias("candidates"),
+             F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("hits"))
+        .crossJoin(n_gold)
+        .select("rules_passed",
+                F.round(F.col("hits") / F.col("__ngold"), 6).alias("recall"),
+                "candidates", "hits")
+        .orderBy("rules_passed")
+    )
+
+
 def blocking_metrics(cand: DataFrame, gold: DataFrame, n_rows: int,
                      n_rows_b: int | None = None) -> dict:
     """recall / |C| / CSSR (block.cc:316-321). gold: (id1, id2) canonical."""

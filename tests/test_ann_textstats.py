@@ -167,3 +167,26 @@ def test_knn_filter_matches_brute_force(spark):
     rows = flagged.collect()
     assert len(rows) == len(pairs)
     assert {(r["id1"], r["id2"]) for r in rows if r["match"]} == want
+
+
+def test_knn_filter_demote_preserves_missing_embeddings(spark):
+    """Demote mode keeps every match row even when a side has no embedding
+    row (left joins + cos=0); filter mode drops unscorable pairs."""
+    from entityblockingbysimilarityjoins_spark.operators.ann import (
+        knn_filter_matches,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"])
+    pairs = spark.createDataFrame(
+        [(1, 2, True), (1, 99, True)],  # 99 has no embedding row
+        ["id1", "id2", "predicted"])
+    demoted = knn_filter_matches(pairs, emb, "vec_id", "embedding", k=1,
+                                 predicted_col="predicted").collect()
+    assert len(demoted) == 2
+    flags = {(r["id1"], r["id2"]): r["predicted"] for r in demoted}
+    assert flags[(1, 2)] is True
+    assert flags[(1, 99)] is False  # unscorable -> demoted, never dropped
+    filtered = knn_filter_matches(pairs, emb, "vec_id", "embedding", k=1)
+    assert [(r["id1"], r["id2"]) for r in filtered.collect()] == [(1, 2)]

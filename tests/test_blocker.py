@@ -130,3 +130,55 @@ def test_pre_sample(spark):
     assert out[(3, 4)] == 0          # shares 'x', not gold
     assert (1, 3) not in out         # no shared token
     assert len(out) == 2
+
+
+def test_per_rule_recall(spark):
+    """One row per rule; recall/hits/contribution computed vs a driver-side
+    replay on a corpus where rules overlap partially."""
+    from entityblockingbysimilarityjoins_spark.operators.blocker import (
+        per_rule_recall,
+    )
+
+    rules = [
+        Rule("title", "jac", "dlm", None, 0.8),
+        Rule("title", "lev", None, None, 2.0, "-"),
+        Rule("price", "anm", None, None, 0.95),
+    ]
+    gold = spark.createDataFrame([(0, 1), (0, 2), (3, 4)], ["id1", "id2"])
+    rows = {r["rule_id"]: r for r in
+            per_rule_recall(_df(spark), "rid", rules, gold).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    # rule 0 (jac>=0.8): finds only (0,1) -> 1 hit of 3 gold, contribution 0
+    # (pair (0,1) also passes lev and anm)
+    assert rows[0]["candidates"] == 1 and rows[0]["hits"] == 1
+    assert rows[0]["contribution"] == 0
+    assert rows[0]["recall"] == pytest.approx(1 / 3, abs=1e-6)
+    # rule 1 (lev<=2): (0,1) lev 0 and (3,4) lev 2 -> 2 hits
+    assert rows[1]["hits"] == 2
+    # rule 2 (anm): (0,1),(3,4),(0,5),(1,5) -> gold hits (0,1),(3,4);
+    # (0,5),(1,5) are anm-only pairs -> contribution 2
+    assert rows[2]["candidates"] == 4 and rows[2]["hits"] == 2
+    assert rows[2]["contribution"] == 2
+    n = _df(spark).count()
+    assert rows[2]["cssr"] == pytest.approx(4 / (n * (n - 1) / 2), abs=1e-9)
+
+
+def test_recall_by_passed_count(spark):
+    from entityblockingbysimilarityjoins_spark.operators.blocker import (
+        recall_by_passed_count,
+    )
+
+    rules = [
+        Rule("title", "jac", "dlm", None, 0.8),
+        Rule("title", "lev", None, None, 2.0, "-"),
+        Rule("price", "anm", None, None, 0.95),
+    ]
+    cand = block_self(_df(spark), "rid", rules)
+    gold = spark.createDataFrame([(0, 1), (0, 2), (3, 4)], ["id1", "id2"])
+    rows = {r["rules_passed"]: r for r in
+            recall_by_passed_count(cand, gold).collect()}
+    # (0,1) passes 3 rules (gold); (3,4) passes 2 (gold); (0,5),(1,5) pass 1
+    assert rows[3]["candidates"] == 1 and rows[3]["hits"] == 1
+    assert rows[2]["candidates"] == 1 and rows[2]["hits"] == 1
+    assert rows[1]["candidates"] == 2 and rows[1]["hits"] == 0
+    assert rows[1]["recall"] == 0.0
