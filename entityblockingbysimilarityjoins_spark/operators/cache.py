@@ -38,7 +38,7 @@ def release_cached() -> int:
     while _LIVE:
         try:
             _LIVE.pop().unpersist()
-            n += 1
         except Exception:  # session already stopped — nothing to release
-            pass
+            continue
+        n += 1  # count only unpersists that actually succeeded (ADVICE r4)
     return n

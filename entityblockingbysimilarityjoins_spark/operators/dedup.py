@@ -163,9 +163,9 @@ def cap_band_buckets(
     existing results are byte-identical unless the caller opts in.
 
     The stats pass is one eager map-side-combinable count over ``bands_df``.
-    The dedup callers persist the signature base it derives from, so the
-    check re-reads cached signatures; ``ann_lsh_topk`` recomputes its band
-    UDF once more for the stats (cap=None skips all of this).
+    The dedup callers persist the band table itself, so the check re-reads
+    cached narrow rows; ``ann_lsh_topk`` recomputes its band UDF once more
+    for the stats (cap=None skips all of this).
     """
     if cap is None:
         return bands_df
@@ -224,12 +224,22 @@ def minhash_lsh_pairs(
     else:
         grouped = slim.select(F.col("toks"), F.array("rid").alias("members"),
                               F.col("rid").alias("gid"))
+    # Cache layout (12.5M-page lesson, round 5): persist the two frames that
+    # are actually read twice — ``grouped`` (toks/members, read by verify's
+    # two joins + the intra expansion) and the post-explode band table
+    # (4 narrow int columns, read by both sides of the band self-join and by
+    # the overflow-valve stats) — and let the signature column STREAM through
+    # unpersisted: it is consumed exactly once by the band explode. Caching
+    # the signature+tokenhash base instead (~3 KB/row: toks + a parallel
+    # xxhash64 array + 192 longs) saturated 6g-executor storage pools at
+    # 12.5M distinct sets and execution OOM'd against block eviction
+    # (exit 52) — and stored ~4x more bytes than these two frames combined.
+    grouped = persist_tracked(grouped)
     base = (
         grouped
         .withColumn("__h", F.transform("toks", lambda t: F.xxhash64(t)))
         .withColumn("__sig", minhash_signature(F.col("__h"), num_perm, seed))
     )
-    base = persist_tracked(base)
     bands_df = base.select(
         "gid",
         F.size("toks").alias("len"),
@@ -240,6 +250,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bh"),
     )
+    bands_df = persist_tracked(bands_df)
     bands_df = cap_band_buckets(bands_df, ("band", "bh"), max_band_bucket,
                                 "minhash_lsh_pairs")
     # fan-out repartition (see set_join): band buckets emit far more
@@ -261,10 +272,10 @@ def minhash_lsh_pairs(
         .dropDuplicates(["gid1", "gid2"])
     )
     verified = (
-        cand.join(base.select(F.col("gid").alias("gid1"), F.col("toks").alias("t1"),
-                              F.col("members").alias("m1")), "gid1")
-        .join(base.select(F.col("gid").alias("gid2"), F.col("toks").alias("t2"),
-                          F.col("members").alias("m2")), "gid2")
+        cand.join(grouped.select(F.col("gid").alias("gid1"), F.col("toks").alias("t1"),
+                                 F.col("members").alias("m1")), "gid1")
+        .join(grouped.select(F.col("gid").alias("gid2"), F.col("toks").alias("t2"),
+                             F.col("members").alias("m2")), "gid2")
         .withColumn("__o", F.size(F.array_intersect("t1", "t2")))
         .withColumn(sim_col, F.col("__o") / (F.size("t1") + F.size("t2") - F.col("__o")))
         .filter(F.col(sim_col) >= threshold)
@@ -274,7 +285,7 @@ def minhash_lsh_pairs(
         .select(F.least("a", "b").alias("id1"), F.greatest("a", "b").alias("id2"), sim_col)
     )
     intra = (
-        base.filter(F.size("members") >= 2)
+        grouped.filter(F.size("members") >= 2)
         .select(F.explode("members").alias("a"), "members")
         .select("a", F.explode("members").alias("b"))
         .filter(F.col("a") < F.col("b"))

@@ -88,9 +88,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---- setup (untimed): corpus + a trained matcher ----
-    pages = generate_pages(spark, n_entities, seed=42).persist()
+    # SPARK_GRAFT_INPUT_DISK=1 persists the corpus DISK_ONLY — the single-box
+    # analogue of reading input from distributed storage (HDFS/S3), which is
+    # where a real cluster's corpus lives. Load-bearing for large inputs on
+    # small-heap executor topologies: with MEMORY_AND_DISK a 12.5M-page
+    # corpus fills every 6g executor heap with cached blocks, and the minhash
+    # stage's execution allocations then fight block eviction + GC to
+    # executor OOM (exit 52, rounds 4-5). Applied identically at BOTH
+    # parallelism levels, so the efficiency ratio stays apples-to-apples.
+    from pyspark import StorageLevel
+    level = (StorageLevel.DISK_ONLY
+             if os.environ.get("SPARK_GRAFT_INPUT_DISK") == "1"
+             else StorageLevel.MEMORY_AND_DISK_DESER)
+    pages = generate_pages(spark, n_entities, seed=42).persist(level)
     n_pages = pages.count()
-    records = derive_attrs(pages).persist()
+    records = derive_attrs(pages).persist(level)
     records.count()
     features = generate_features(ATTR_TYPES)
     feat_names = [f.name for f in features]
@@ -115,8 +127,8 @@ def main() -> None:
     n_pairs = n_match = n_mh = n_comp = 0
     for rep in range(reps):
         spark.catalog.clearCache()
-        pages.persist().count()
-        records.persist().count()
+        pages.persist(level).count()
+        records.persist(level).count()
 
         t0 = time.time()
         toks = records.select("url", tokens_dlm(F.col("title")).alias("tokens"))
