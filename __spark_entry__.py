@@ -39,6 +39,7 @@ from entityblockingbysimilarityjoins_spark.functions.text_stats import (
     quality_score,
     subword_count,
     token_count,
+    winnow_fingerprint,
 )
 from entityblockingbysimilarityjoins_spark.functions.tokenize import tokens_wspace
 from entityblockingbysimilarityjoins_spark.operators.ann import (
@@ -385,6 +386,15 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score(F.col("text")), 6).alias("quality"),
         fingerprint(F.col("text")).alias("fp"),
     )
+
+
+def _q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint (SIGMOD'03), exploded to
+    (doc_id, fp) rows — k=5-token shingles, window w=4, 60-bit md5-prefix
+    shingle hash that DuckDB replicates bit-for-bit."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(winnow_fingerprint(F.col("text"), k=5, w=4)).alias("fp"))
 
 
 def _q_weighted_jac(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann,
         "ann_lsh_topk": _q_ann_lsh,
         "text_stats": _q_text_stats,
+        "winnow_fingerprint": _q_winnow_fp,
         "weighted_jaccard_join": _q_weighted_jac,
         "down_sample": _q_down_sample,
         "cluster_sample": _q_cluster_sample,
@@ -1523,6 +1534,25 @@ SELECT doc_id,
            + 0.2 * least(length(text)::DOUBLE / 200.0, 1.0), 6) AS quality,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
 FROM h""",
+        # winnowing: same k=5 shingles / w=4 windows / 60-bit md5-prefix hash
+        # as functions/text_stats.py::winnow_fingerprint; range() is
+        # exclusive-stop and list_slice is inclusive, hence the +2 / +4 / +3
+        "winnow_fingerprint": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(ts) >= 5 THEN
+      list_transform(range(1, len(ts) - 5 + 2),
+        i -> ('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 4), ' ')), 1, 15))::BIGINT)
+      ELSE [] END AS hs FROM toks
+), mn AS (
+  SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
+      list_transform(range(1, len(hs) - 4 + 2), j -> list_min(list_slice(hs, j, j + 3)))
+      ELSE [] END AS ms FROM sh
+)
+SELECT doc_id, unnest(list_sort(list_distinct(ms))) AS fp FROM mn""",
         "weighted_jaccard_join": f"""{_TOK_CTE},
 ex AS (SELECT doc_id, unnest(tokens) AS token FROM tk),
 idf AS (SELECT token, log10((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS w

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     # round-4: IC-aware feature matrix + the V7 rematch second round
     "ic_features",
     "rematch_res",
+    # round-5: rolling-hash winnowing fingerprint (codegen-native HOFs)
+    "winnow_fingerprint",
 ]
 
 #: queries whose rows == scored pairs; bench reports pairs/sec for these

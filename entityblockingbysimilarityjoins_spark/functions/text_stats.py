@@ -10,6 +10,9 @@ All native Column expressions (SQL-oracle-expressible, whole-stage codegen):
   stopword ratio, mean word length sanity, and length saturation.
 - ``fingerprint``: md5 of case-folded whitespace-collapsed text (the
   canonical content fingerprint used for exact near-canonical dedup).
+- ``winnow_fingerprint``: rolling-hash winnowing (Schleimer/Wilkerson/
+  Aiken, SIGMOD'03) — k-token shingle hashes, min per w-window, distinct
+  sorted selections.
 """
 
 from __future__ import annotations
@@ -79,3 +82,57 @@ def fingerprint(c: Column) -> Column:
     """md5 of lower(trim(collapse-whitespace(text))) — canonical content hash."""
     canon = F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
     return F.md5(canon)
+
+
+def _let(value: Column, body) -> Column:
+    """Let-bind ``value`` so higher-order-function lambdas can reference it
+    as a BOUND VARIABLE instead of re-evaluating the free expression once
+    per array element (transform over a single-element array = a let
+    binding). Without this, e.g. ``transform(idx, j -> slice(hashes, j, w))``
+    recomputes the whole ``hashes`` expression for every window — O(n^2)
+    hashing per row."""
+    return F.transform(F.array(value), body)[0]
+
+
+def winnow_fingerprint(c: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing rolling-hash document fingerprint (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every k-token shingle, keep the minimum hash of every
+    window of w consecutive shingle hashes, return the sorted distinct
+    selections as ``array<bigint>``.
+
+    The winnowing guarantee: any token run of length >= k + w - 1 shared by
+    two documents contributes at least one common selected hash, so
+    fingerprint intersection detects copied passages at ~1/w the index size
+    of full shingle sets. Documents with fewer than k tokens, or fewer than
+    w shingles (incl. NULL / empty / all-whitespace text), yield an empty
+    array.
+
+    Shingle hash = first 60 bits of md5 (15 hex chars), the same
+    engine-portable construction the value-grouping and simhash oracles
+    use, so DuckDB replicates the fingerprint bit-for-bit. Pure Column
+    expressions — one projection, whole-stage codegen, no UDF, no shuffle;
+    the ``_let`` bindings keep it O(tokens * (k + w)) per row.
+    """
+    empty_i = F.array().cast("array<int>")
+
+    def with_hashes(hs: Column) -> Column:
+        m = F.size(hs)
+        # sequence(1, 0) would count DOWN in Spark; gate short inputs
+        win_idx = F.when(m >= w, F.sequence(F.lit(1), m - w + 1)) \
+            .otherwise(empty_i)
+        minima = F.transform(win_idx, lambda j: F.array_min(F.slice(hs, j, w)))
+        return F.array_sort(F.array_distinct(minima))
+
+    def with_toks(ts: Column) -> Column:
+        n = F.size(ts)
+        sh_idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+            .otherwise(empty_i)
+        hashes = F.transform(
+            sh_idx,
+            lambda i: F.conv(F.substring(F.md5(
+                F.concat_ws(" ", F.slice(ts, i, k))), 1, 15), 16, 10
+            ).cast("long"))
+        return _let(hashes, with_hashes)
+
+    return _let(_ws_tokens(F.lower(c)), with_toks)

@@ -87,7 +87,41 @@ def test_quality_and_fingerprint(spark):
     assert h[0] == h[1]  # case-fold + ws-collapse canonicalization
 
 
-def test_multimodal_plumbing(spark):
+def test_winnow_fingerprint(spark):
+    """Rolling-hash winnowing vs a direct python reference, plus the
+    SIGMOD'03 guarantee: a shared run of >= k + w - 1 tokens yields a common
+    selection; whitespace/case noise does not change the fingerprint."""
+    import hashlib
+    import re
+
+    from entityblockingbysimilarityjoins_spark.functions.text_stats import (
+        winnow_fingerprint,
+    )
+
+    def ref(t, k=5, w=4):
+        toks = [x for x in re.split(r"\s+", (t or "").lower(), flags=re.ASCII)
+                if x]
+        hs = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+                  .hexdigest()[:15], 16)
+              for i in range(max(len(toks) - k + 1, 0))]
+        if len(hs) < w:
+            return []
+        return sorted({min(hs[j:j + w]) for j in range(len(hs) - w + 1)})
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k + w - 1
+    rows = [(0, "the quick brown fox jumps over the lazy dog today ok"),
+            (1, "too short"), (2, None), (3, ""), (4, "  \t "),
+            (5, f"{shared} one two three four five"),
+            (6, f"nine ten eleven twelve {shared}"),
+            (7, "THE  Quick\tbrown fox JUMPS over the lazy dog today ok")]
+    df = spark.createDataFrame(rows, ["doc_id", "t"])
+    got = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id",
+                     winnow_fingerprint(F.col("t")).alias("fp")).collect()}
+    for i, t in rows:
+        assert got[i] == ref(t), i
+    assert set(got[5]) & set(got[6])   # shared k+w-1 run => common selection
+    assert got[0] == got[7]            # case/whitespace invariant
     from entityblockingbysimilarityjoins_spark.operators.multimodal import (
         decode_image_features,
         sample_video_frames,
