@@ -32,6 +32,8 @@ AUDIT = [
     # and the million-pair scoring regime
     "pipeline_match_res", "knn_filter", "topk_ta",
     "string_sim_bulk_1m", "feature_matrix_1m",
+    # r5: winnowing must stay a single codegen projection over the doc scan
+    "winnow_fingerprint",
 ]
 
 
