@@ -79,6 +79,10 @@ def main() -> None:
             f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(int(exec_cores), 2)}")
         extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("SPARK_GRAFT_INPUT_DISK") == "1":
+        # compress the DISK_ONLY cached blocks (generated text compresses
+        # ~4x) — same setting at both parallelism levels
+        extra["spark.rdd.compress"] = "true"
     # honest N-core simulation: cap the GC worker pool at the task-slot
     # count — otherwise a local[4] JVM still collects with all machine
     # cores and the low-parallelism run looks faster than a 4-core node
@@ -100,10 +104,14 @@ def main() -> None:
     level = (StorageLevel.DISK_ONLY
              if os.environ.get("SPARK_GRAFT_INPUT_DISK") == "1"
              else StorageLevel.MEMORY_AND_DISK_DESER)
-    pages = generate_pages(spark, n_entities, seed=42).persist(level)
-    n_pages = pages.count()
+    # Only `records` is persisted: it is the sole frame the timed job reads
+    # (title tokens, text tokens, feature extraction). Also persisting the
+    # raw `pages` doubled the on-disk cache for no reader and, combined
+    # with rep-1 shuffle files lingering on the long-lived executors, ran
+    # the box out of disk at 12.5M pages (rep 2, minhash stage — twice).
+    pages = generate_pages(spark, n_entities, seed=42)
     records = derive_attrs(pages).persist(level)
-    records.count()
+    n_pages = records.count()
     features = generate_features(ATTR_TYPES)
     feat_names = [f.name for f in features]
     gold_small = generate_gold(spark, 2000, seed=42)
@@ -127,7 +135,6 @@ def main() -> None:
     n_pairs = n_match = n_mh = n_comp = 0
     for rep in range(reps):
         spark.catalog.clearCache()
-        pages.persist(level).count()
         records.persist(level).count()
 
         t0 = time.time()
@@ -166,6 +173,18 @@ def main() -> None:
         runs.append({"t_block": round(t_block, 2), "t_score": round(t_score, 2),
                      "t_minhash": round(t_minhash, 2), "t_cc": round(t_cc, 2),
                      "t_total": round(t_block + t_score + t_minhash + t_cc, 2)})
+
+        # Release this rep's cached frames and force a driver GC so the
+        # ContextCleaner drops the rep's now-dereferenced shuffle files from
+        # the executors' disks BEFORE the next rep re-shuffles the corpus.
+        # Without this, shuffle files only vanish at the periodic 30-min GC
+        # and rep 2 runs the disk out (outside the timed window; identical
+        # at both parallelism levels).
+        pairs.unpersist()
+        predicted.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
 
     best = min(r["t_total"] for r in runs)
     print(json.dumps({
