@@ -44,6 +44,7 @@ from entityblockingbysimilarityjoins_spark.functions.text_stats import (
 from entityblockingbysimilarityjoins_spark.functions.tokenize import tokens_wspace
 from entityblockingbysimilarityjoins_spark.operators.ann import (
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
 )
 from entityblockingbysimilarityjoins_spark.operators.dedup import (
@@ -274,6 +275,15 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_lsh_topk(emb, emb, "vec_id", "embedding", k=5).withColumn(
         "cos", F.round("cos", 6))
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN scale path: md5-seeded deterministic coarse quantizer
+    (8 cells), 2-probe search, exact cosine re-rank within the probed
+    inverted lists — the whole approximate pipeline mirrored in SQL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(emb, emb, "vec_id", "embedding", k=5, n_cells=8,
+                        n_probe=2, seed=7).withColumn("cos", F.round("cos", 6))
 
 
 _STREAM_SEQ = itertools.count()
@@ -908,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_emb_neardup_lsh,
         "ann_topk": _q_ann,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "text_stats": _q_text_stats,
         "winnow_fingerprint": _q_winnow_fp,
         "weighted_jaccard_join": _q_weighted_jac,
@@ -1495,6 +1506,32 @@ sig AS (SELECT vec_id, q // 12 AS band,
 cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
          FROM sig a JOIN sig b ON a.band = b.band AND a.bv = b.bv
          WHERE a.vec_id <> b.vec_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(ea.emb, eb.emb) AS c0
+           FROM cand c JOIN e ea ON ea.vec_id = c.query_id
+                       JOIN e eb ON eb.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, round(c0, 6) AS cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY c0 DESC, neighbor_id ASC)::INT AS rank
+FROM scored QUALIFY rank <= 5""",
+        # IVF-Flat mirrored end-to-end: centroids = the 8 vectors with the
+        # smallest md5('ivf:7:'||id) (ann.ann_ivf_topk's seeded quantizer),
+        # nearest-cell assignment (cos DESC, cent ASC ties), 2-probe search,
+        # exact cosine re-rank inside the probed inverted lists
+        "ann_ivf_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, emb AS cent_e FROM e
+         ORDER BY md5('ivf:7:' || vec_id::VARCHAR), vec_id LIMIT 8),
+ascore AS (SELECT e.vec_id, c.cent_id,
+                  list_cosine_similarity(e.emb, c.cent_e) AS cc,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, c.cent_e) DESC,
+                               c.cent_id ASC) AS rn
+           FROM e, cent c),
+assign AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM ascore WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ascore WHERE rn <= 2),
+cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+         FROM probes p JOIN assign a USING (cell)
+         WHERE p.query_id <> a.neighbor_id),
 scored AS (SELECT c.query_id, c.neighbor_id,
                   list_cosine_similarity(ea.emb, eb.emb) AS c0
            FROM cand c JOIN e ea ON ea.vec_id = c.query_id

@@ -340,3 +340,100 @@ def knn_filter_matches(
     if keep_cos:
         out = out.withColumn("knn_cos", F.col("__cos"))
     return out.drop("__cos", "__r1", "__r2", "__has_emb")
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    emb_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+    exclude_self: bool = True,
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` inverted lists, probe each query's ``n_probe`` nearest
+    cells, exact cosine re-rank within the probed cohort.
+
+    The coarse quantizer is deterministic and engine-portable: the
+    centroids are the ``n_cells`` corpus vectors with the smallest
+    ``md5("ivf:{seed}:" || id)`` (a seeded pseudo-random sample that ANSI
+    SQL reproduces bit-for-bit), so — like the md5-hyperplane LSH family —
+    the FULL approximate pipeline has an exact DuckDB oracle. A trained
+    quantizer (Lloyd iterations over a driver-side sample) is a drop-in
+    replacement for the centroid frame; the plan shape below is unchanged.
+
+    Physical plan, sized for 100 TB:
+    - the centroid table is ``n_cells`` rows → broadcast join; scoring a
+      vector against all centroids never shuffles the corpus.
+    - cell assignment is ``groupBy(id).agg(min(struct(-cos, cent)))`` over
+      narrow (id, cos, cent) rows — map-side partial aggregation, one
+      combiner-reduced shuffle, embeddings never ride it.
+    - the search join is keyed by cell id only; embeddings are re-attached
+      to the deduped candidate pairs by hash joins against the persisted
+      inputs (the id-only pattern shared with ``ann_lsh_topk``).
+    - ``max_cell_rows`` caps a hot inverted list via ``cap_band_buckets``
+      (corpus side only — a hot cell multiplies against every query that
+      probes it).
+
+    Ties everywhere use the standing rule (cos DESC, id ASC); ``min`` over
+    ``struct(-cos, cent_id)`` encodes exactly that for any orderable id
+    type. Returns (query_id, neighbor_id, cos, rank).
+    """
+    q = persist_tracked(_prep(queries, id_col, emb_col, "query"))
+    c = persist_tracked(_prep(corpus, id_col, emb_col, "neighbor"))
+
+    cent = (
+        c.withColumn("__h", F.md5(F.concat(F.lit(f"ivf:{seed}:"),
+                                           F.col("neighbor_id").cast("string"))))
+        .orderBy("__h", "neighbor_id")
+        .limit(n_cells)
+        .select(F.col("neighbor_id").alias("cent_id"),
+                F.col("neighbor_e").alias("cent_e"),
+                F.col("neighbor_n").alias("cent_n"))
+    )
+
+    def _cell_scores(side: str) -> DataFrame:
+        src = q if side == "query" else c
+        return (
+            src.crossJoin(F.broadcast(cent))
+            .select(
+                f"{side}_id",
+                "cent_id",
+                (_dot(F.col(f"{side}_e"), F.col("cent_e"))
+                 / (F.col(f"{side}_n") * F.col("cent_n"))).alias("__cc"),
+            )
+        )
+
+    assign = (
+        _cell_scores("neighbor")
+        .groupBy("neighbor_id")
+        .agg(F.min(F.struct((-F.col("__cc")).alias("nc"),
+                            F.col("cent_id").alias("cid"))).alias("__m"))
+        .select("neighbor_id", F.col("__m.cid").alias("cell"))
+    )
+    assign = cap_band_buckets(assign, ("cell",), max_cell_rows, "ann_ivf_topk")
+    wp = Window.partitionBy("query_id").orderBy(F.desc("__cc"), F.asc("cent_id"))
+    probes = (
+        _cell_scores("query")
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+
+    cand = (
+        probes.join(assign, "cell")
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = (
+        cand.join(q, "query_id").join(c, "neighbor_id")
+        .withColumn("cos", _dot(F.col("query_e"), F.col("neighbor_e"))
+                    / (F.col("query_n") * F.col("neighbor_n")))
+    )
+    return _topk(scored, k)

@@ -224,3 +224,64 @@ def test_knn_filter_demote_preserves_missing_embeddings(spark):
     assert flags[(1, 99)] is False  # unscorable -> demoted, never dropped
     filtered = knn_filter_matches(pairs, emb, "vec_id", "embedding", k=1)
     assert [(r["id1"], r["id2"]) for r in filtered.collect()] == [(1, 2)]
+
+
+def test_ann_ivf_matches_numpy_replay(spark):
+    """ann_ivf_topk == an independent numpy replay of the same IVF pipeline:
+    md5-seeded centroid pick, nearest-cell assignment (cos DESC, cent ASC
+    ties), n_probe cells per query, exact re-rank within the cohort."""
+    import hashlib
+
+    from entityblockingbysimilarityjoins_spark.operators.ann import ann_ivf_topk
+
+    rows = _emb_rows(11, 60)
+    df = spark.createDataFrame(rows, ["rid", "e"])
+    n_cells, n_probe, k, seed = 5, 2, 4, 7
+    got = ann_ivf_topk(df, df, "rid", "e", k=k, n_cells=n_cells,
+                       n_probe=n_probe, seed=seed).collect()
+
+    M = np.array([v for _, v in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cent_ids = sorted(range(len(rows)),
+                      key=lambda i: (hashlib.md5(f"ivf:{seed}:{i}".encode())
+                                     .hexdigest(), i))[:n_cells]
+    cc = Mn @ Mn[cent_ids].T  # (n, n_cells) cell scores
+    # ties (cos DESC, cent_id ASC): stable argsort over (-cos, cent_id)
+    order = np.lexsort((np.array(cent_ids)[None, :].repeat(len(rows), 0), -cc),
+                       axis=1)
+    assign = {i: cent_ids[order[i, 0]] for i in range(len(rows))}
+    probes = {i: {cent_ids[order[i, p]] for p in range(n_probe)}
+              for i in range(len(rows))}
+    want = {}
+    for qi in range(len(rows)):
+        cohort = [j for j in range(len(rows))
+                  if j != qi and assign[j] in probes[qi]]
+        cohort.sort(key=lambda j: (-Mn[qi] @ Mn[j], j))
+        want[qi] = cohort[:k]
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qi, lst in by_q.items():
+        lst.sort()
+        assert [n for _, n in lst] == want[qi]
+    assert set(by_q) == {qi for qi in want if want[qi]}
+
+
+def test_ann_ivf_cell_cap_valve(spark):
+    """max_cell_rows caps a hot inverted list deterministically."""
+    from entityblockingbysimilarityjoins_spark.operators.ann import ann_ivf_topk
+
+    # one dominant direction -> almost everything lands in one cell
+    rng = np.random.default_rng(5)
+    rows = [(i, [1.0 + 0.01 * float(x) for x in rng.standard_normal(6)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["rid", "e"])
+    full = ann_ivf_topk(df, df, "rid", "e", k=3, n_cells=3, n_probe=1).count()
+    capped = ann_ivf_topk(df, df, "rid", "e", k=3, n_cells=3, n_probe=1,
+                          max_cell_rows=10)
+    assert capped.count() <= full
+    # deterministic: same call twice -> identical rows
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, ann_ivf_topk(df, df, "rid", "e", k=3, n_cells=3,
+                                       n_probe=1, max_cell_rows=10).collect()))
+    assert a == b
