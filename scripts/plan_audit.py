@@ -34,6 +34,8 @@ AUDIT = [
     "string_sim_bulk_1m", "feature_matrix_1m",
     # r5: winnowing must stay a single codegen projection over the doc scan
     "winnow_fingerprint",
+    # r5: IVF search join must exchange id-only cell keys (like LSH bands)
+    "ann_ivf_topk",
 ]
 
 
@@ -44,14 +46,20 @@ def audit(name: str, plan: str) -> list[str]:
         problems.append("no whole-stage-codegen span")
     if "ReadSchema" in plan and "struct<>" in plan:
         problems.append("scan reads zero columns (suspicious)")
+    # ann_topk is the deliberately-exact brute-force path; ann_ivf_topk
+    # scores vectors against an n_cells-row broadcast centroid table — a
+    # broadcast nested loop over a tiny dim is the intended plan there and
+    # the corpus side never shuffles for it.
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        if bad in plan and name != "ann_topk":
+        if bad in plan and name not in ("ann_topk", "ann_ivf_topk"):
             problems.append(f"{bad} present")
-    # band-bucket exchanges must not shuffle embedding arrays (id-only joins)
+    # band/cell-bucket exchanges must not shuffle embedding arrays (id-only
+    # joins; embeddings re-attach after candidate dedup)
     for line in plan.splitlines():
-        if "Exchange hashpartitioning(band" in line and (
+        if ("Exchange hashpartitioning(band" in line
+                or "Exchange hashpartitioning(cell" in line) and (
                 "_e#" in line or "ArrayType" in line):
-            problems.append("band exchange carries an array payload")
+            problems.append("band/cell exchange carries an array payload")
             break
     return problems
 
