@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "rematch_res",
     # round-5: rolling-hash winnowing fingerprint (codegen-native HOFs)
     "winnow_fingerprint",
+    # round-5: IVF-Flat ANN scale path (broadcast centroids, cell buckets)
+    "ann_ivf_topk",
 ]
 
 #: queries whose rows == scored pairs; bench reports pairs/sec for these
