@@ -285,3 +285,53 @@ def test_ann_ivf_cell_cap_valve(spark):
     b = sorted(map(tuple, ann_ivf_topk(df, df, "rid", "e", k=3, n_cells=3,
                                        n_probe=1, max_cell_rows=10).collect()))
     assert a == b
+
+
+def test_winnow_fingerprint_property(spark):
+    """Hypothesis sweep of winnow_fingerprint over random corpora AND random
+    (k, w) — the fixed-parameter differential test above only exercises the
+    default (5, 4); the shingle/window gating (`n < k`, `m < w`) and the
+    k=1 / w=1 degenerate forms (w=1 keeps every shingle) each have their own
+    branch in the Column expression. One Spark job per example batch keeps
+    the sweep cheap; the oracle is the same direct python reference."""
+    import hashlib
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entityblockingbysimilarityjoins_spark.functions.text_stats import (
+        winnow_fingerprint,
+    )
+
+    def ref(t, k, w):
+        toks = [x for x in re.split(r"\s+", (t or "").lower(), flags=re.ASCII)
+                if x]
+        hs = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+                  .hexdigest()[:15], 16)
+              for i in range(max(len(toks) - k + 1, 0))]
+        if len(hs) < w:
+            return []
+        return sorted({min(hs[j:j + w]) for j in range(len(hs) - w + 1)})
+
+    # tiny token alphabet -> repeated shingles -> duplicate hashes, so
+    # array_distinct and window-min ties are actually exercised
+    token = st.text(alphabet="ab1", min_size=1, max_size=2)
+    sep = st.sampled_from([" ", "  ", "\t", " \n"])
+    doc = st.lists(st.tuples(token, sep), max_size=14).map(
+        lambda ps: "".join(t + s for t, s in ps))
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=10),
+           k=st.integers(1, 6), w=st.integers(1, 6))
+    def check(docs, k, w):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                                   ["doc_id", "t"])
+        got = {r["doc_id"]: r["fp"] for r in
+               df.select("doc_id",
+                         winnow_fingerprint(F.col("t"), k, w).alias("fp"))
+               .collect()}
+        for i, t in enumerate(docs):
+            assert got[i] == ref(t, k, w), (i, t, k, w)
+
+    check()
