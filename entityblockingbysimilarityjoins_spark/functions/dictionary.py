@@ -81,6 +81,7 @@ def encode_tokens(
     weight_col: str | None = "wt",
     broadcast_dict: bool = True,
     idfs_col: str | None = None,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """Re-encode string-token arrays as sorted int-id arrays (+ IDF record weight).
 
@@ -91,7 +92,14 @@ def encode_tokens(
     ``idfs_col``: optionally also emit the per-token idf array aligned with
     ``out_col`` (idfs[i] = idf of tids[i]) — weighted joins derive suffix
     weights and the verification map from it with pure projections, no extra
-    shuffle."""
+    shuffle.
+
+    ``drop_empty``: callers that filter empty token sets right away (every
+    set/overlap join) skip the join back onto ``df`` entirely — the groupBy
+    output IS the non-empty encoding (a record with zero dictionary tokens
+    emits no exploded rows), removing one join + its exchange from every
+    join's prepare stage (guide §2.4). Only ``id_col`` survives from ``df``
+    in this mode."""
     d = dictionary.select("token", "tid", "idf")
     if broadcast_dict:
         d = F.broadcast(d)
@@ -108,12 +116,15 @@ def encode_tokens(
             F.transform("__p", lambda x: x["idf"]).alias("__idfs"),
         )
     )
-    out = (
-        df.join(enc, id_col, "left")
-        .withColumn(out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>")))
-        .withColumn(out_col, F.col(out_col).cast("array<int>"))
-        .withColumn("__idfs", F.coalesce(F.col("__idfs"), F.array().cast("array<double>")))
-    )
+    if drop_empty:
+        out = enc
+    else:
+        out = (
+            df.join(enc, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>")))
+            .withColumn("__idfs", F.coalesce(F.col("__idfs"), F.array().cast("array<double>")))
+        )
+    out = out.withColumn(out_col, F.col(out_col).cast("array<int>"))
     if weight_col is not None:
         out = out.withColumn(
             weight_col,

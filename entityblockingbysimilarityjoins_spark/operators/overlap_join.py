@@ -22,13 +22,31 @@ from pyspark.sql import functions as F
 
 from ..functions.dictionary import build_dictionary, encode_tokens
 from .cache import persist_tracked
+from .set_join import _InlineVocab, _inline_vocab, _mask_cols, _mask_overlap
 
 
-def _prep(df: DataFrame, id_col: str, tokens_col: str, c: int, dictionary: DataFrame, broadcast_dict: bool) -> DataFrame:
+def _prep(df: DataFrame, id_col: str, tokens_col: str, c: int, dictionary: DataFrame,
+          broadcast_dict: bool, inline: _InlineVocab | None = None) -> DataFrame:
     slim = df.select(F.col(id_col).alias("rid"), F.col(tokens_col).alias("toks"))
-    enc = encode_tokens(slim, dictionary, id_col="rid", tokens_col="toks",
-                        weight_col=None, broadcast_dict=broadcast_dict).drop("toks")
-    return enc.filter(F.size("tids") >= c).withColumn("len", F.size("tids"))
+    if inline is not None:
+        # tiny-vocab path (see set_join): literal-map encode, zero exchanges
+        tids = F.array_sort(
+            F.filter(
+                F.transform("toks", lambda t: F.element_at(inline.token_map, t)),
+                lambda x: x.isNotNull(),
+            )
+        ).cast("array<int>")
+        enc = slim.select("rid", tids.alias("tids"))
+    else:
+        enc = encode_tokens(slim, dictionary, id_col="rid", tokens_col="toks",
+                            weight_col=None, broadcast_dict=broadcast_dict,
+                            drop_empty=True).drop("toks")
+    enc = enc.filter(F.size("tids") >= c).withColumn("len", F.size("tids"))
+    if inline is not None:
+        enc = enc.withColumns(
+            {f"__bm{w}": col for w, col in
+             enumerate(_mask_cols(F.col("tids"), inline.n_words))})
+    return enc
 
 
 def _prefix(enc: DataFrame, c: int, side: str, singletons: DataFrame | None) -> DataFrame:
@@ -56,7 +74,10 @@ def overlap_self_join(
     if dictionary is None:
         dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
     singletons = dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid"))
-    enc = _prep(df, id_col, tokens_col, c, dictionary, broadcast_dict).transform(persist_tracked)
+    inline = _inline_vocab(dictionary)
+    n_mask = inline.n_words if inline is not None else None
+    enc = _prep(df, id_col, tokens_col, c, dictionary, broadcast_dict,
+                inline=inline).transform(persist_tracked)
     # fan-out repartition (see set_join): prefix entries are tiny relative
     # to the candidate pairs the join emits
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -67,6 +88,18 @@ def overlap_self_join(
         .select("rid1", "rid2")
         .dropDuplicates(["rid1", "rid2"])
     )
+    if n_mask:
+        # bitset verify: the re-attach joins carry a few longs, the exact
+        # overlap is bit_count(m1 & m2) — identical counts, O(words)/pair
+        m1 = [F.col(f"__bm{w}").alias(f"__bm{w}1") for w in range(n_mask)]
+        m2 = [F.col(f"__bm{w}").alias(f"__bm{w}2") for w in range(n_mask)]
+        return (
+            cand.join(enc.select(F.col("rid").alias("rid1"), *m1), "rid1")
+            .join(enc.select(F.col("rid").alias("rid2"), *m2), "rid2")
+            .withColumn(count_col, _mask_overlap("1", "2", n_mask))
+            .filter(F.col(count_col) >= c)
+            .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), count_col)
+        )
     return (
         cand.join(enc.select(F.col("rid").alias("rid1"), F.col("tids").alias("t1")), "rid1")
         .join(enc.select(F.col("rid").alias("rid2"), F.col("tids").alias("t2")), "rid2")
@@ -94,11 +127,25 @@ def overlap_rs_join(
             df_s.select(F.col(tokens_col).alias("tokens")))
         dictionary = build_dictionary(union)
     singletons = dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid"))
-    left = _prep(df_r, id_col, tokens_col, c, dictionary, broadcast_dict).transform(persist_tracked)
-    right = _prep(df_s, id_col, tokens_col, c, dictionary, broadcast_dict).transform(persist_tracked)
+    inline = _inline_vocab(dictionary)
+    n_mask = inline.n_words if inline is not None else None
+    left = _prep(df_r, id_col, tokens_col, c, dictionary, broadcast_dict,
+                 inline=inline).transform(persist_tracked)
+    right = _prep(df_s, id_col, tokens_col, c, dictionary, broadcast_dict,
+                  inline=inline).transform(persist_tracked)
     l = _prefix(left, c, "1", singletons)
     r = _prefix(right, c, "2", singletons)
     cand = l.join(r, l["tok"] == r["tok"]).select("rid1", "rid2").dropDuplicates(["rid1", "rid2"])
+    if n_mask:
+        m1 = [F.col(f"__bm{w}").alias(f"__bm{w}1") for w in range(n_mask)]
+        m2 = [F.col(f"__bm{w}").alias(f"__bm{w}2") for w in range(n_mask)]
+        return (
+            cand.join(left.select(F.col("rid").alias("rid1"), *m1), "rid1")
+            .join(right.select(F.col("rid").alias("rid2"), *m2), "rid2")
+            .withColumn(count_col, _mask_overlap("1", "2", n_mask))
+            .filter(F.col(count_col) >= c)
+            .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), count_col)
+        )
     return (
         cand.join(left.select(F.col("rid").alias("rid1"), F.col("tids").alias("t1")), "rid1")
         .join(right.select(F.col("rid").alias("rid2"), F.col("tids").alias("t2")), "rid2")
