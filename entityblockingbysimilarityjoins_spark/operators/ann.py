@@ -41,6 +41,23 @@ def _dot(a: Column, b: Column) -> Column:
                        lambda acc, v: acc + v)
 
 
+def _dot_udf():
+    """Arrow-batched numpy inner product — the vectorized replacement for the
+    interpreted ``_dot`` HOF on per-candidate hot paths (guide §4.2). One
+    einsum per batch; identical to ``ann_lsh_topk``'s verified scorer."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos_batch(a, b):
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    _cos_batch.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                                  "return": pd.Series}
+    return pandas_udf(_cos_batch, "double")
+
+
 def md5_plane_component(seed: int, q: int, d: int) -> float:
     """Deterministic engine-portable pseudo-random plane component in [-1, 1]."""
     h = int(hashlib.md5(f"pl:{seed}:{q}:{d}".encode()).hexdigest()[:15], 16)
@@ -342,6 +359,69 @@ def knn_filter_matches(
     return out.drop("__cos", "__r1", "__r2", "__has_emb")
 
 
+def _gather_score_topk(
+    cand: DataFrame,
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+    id_type: str,
+) -> DataFrame | None:
+    """Exact per-query top-k over candidate id pairs via broadcast gather.
+
+    Candidates are repartitioned by query id so one task holds each query's
+    whole cohort; vectors come from two broadcast (ids, matrix, norms)
+    triples, scores from one einsum per partition, and the top-k per query
+    from one lexsort — the same (cos DESC, neighbor ASC) order and the same
+    ``dot / (n1 * n2)`` float arithmetic as the window path. Returns None
+    when either side is empty."""
+    import pandas as pd
+
+    spark = cand.sparkSession
+
+    def side_arrays(df: DataFrame, prefix: str):
+        rows = df.select(f"{prefix}_id", f"{prefix}_e", f"{prefix}_n").collect()
+        if not rows:
+            return None
+        ids = np.array([r[f"{prefix}_id"] for r in rows])
+        order = np.argsort(ids)
+        M = np.array([rows[i][f"{prefix}_e"] for i in order], dtype=np.float64)
+        N = np.array([rows[i][f"{prefix}_n"] for i in order], dtype=np.float64)
+        return ids[order], M, N
+
+    qa, ca = side_arrays(q, "query"), side_arrays(c, "neighbor")
+    if qa is None or ca is None:
+        return None
+    b_q = spark.sparkContext.broadcast(qa)
+    b_c = spark.sparkContext.broadcast(ca)
+
+    def score(batches):
+        qid_s, Qm, Qn = b_q.value
+        cid_s, Cm, Cn = b_c.value
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        qid = np.concatenate([p["query_id"].to_numpy() for p in parts])
+        nid = np.concatenate([p["neighbor_id"].to_numpy() for p in parts])
+        i1 = np.searchsorted(qid_s, qid)
+        i2 = np.searchsorted(cid_s, nid)
+        cos = np.einsum("ij,ij->i", Qm[i1], Cm[i2]) / (Qn[i1] * Cn[i2])
+        order = np.lexsort((nid, -cos, qid))
+        qs, ns, ss = qid[order], nid[order], cos[order]
+        # multi-probe duplicates of one (query, neighbor) pair are adjacent
+        # after the sort (identical cos) — keep the first occurrence only
+        uniq = np.r_[True, (qs[1:] != qs[:-1]) | (ns[1:] != ns[:-1])]
+        qs, ns, ss = qs[uniq], ns[uniq], ss[uniq]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        rank = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)])) + 1
+        keep = rank <= k
+        yield pd.DataFrame({"query_id": qs[keep], "neighbor_id": ns[keep],
+                            "cos": ss[keep], "rank": rank[keep].astype("int32")})
+
+    n_part = max(cand.sparkSession.sparkContext.defaultParallelism, 1)
+    schema = f"query_id {id_type}, neighbor_id {id_type}, cos double, rank int"
+    return cand.repartition(n_part, "query_id").mapInPandas(score, schema=schema)
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -385,6 +465,7 @@ def ann_ivf_topk(
     """
     q = persist_tracked(_prep(queries, id_col, emb_col, "query"))
     c = persist_tracked(_prep(corpus, id_col, emb_col, "neighbor"))
+    dot_udf = _dot_udf()
 
     cent = (
         c.withColumn("__h", F.md5(F.concat(F.lit(f"ivf:{seed}:"),
@@ -403,7 +484,7 @@ def ann_ivf_topk(
             .select(
                 f"{side}_id",
                 "cent_id",
-                (_dot(F.col(f"{side}_e"), F.col("cent_e"))
+                (dot_udf(F.col(f"{side}_e"), F.col("cent_e"))
                  / (F.col(f"{side}_n") * F.col("cent_n"))).alias("__cc"),
             )
         )
@@ -424,16 +505,31 @@ def ann_ivf_topk(
         .select("query_id", F.col("cent_id").alias("cell"))
     )
 
-    cand = (
-        probes.join(assign, "cell")
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    cand = probes.join(assign, "cell").select("query_id", "neighbor_id")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    # Re-rank. While both vector matrices fit the broadcast cap, candidates
+    # shuffle as BARE ID PAIRS repartitioned by query — each task gathers its
+    # rows' vectors from the broadcast matrices, scores one einsum, and emits
+    # the exact per-query top-k directly (worked-example §8: decide with
+    # small rows, never ship the payload per candidate). Multi-probe
+    # duplicates collapse inside the partition-local rank pass, so the
+    # dropDuplicates exchange disappears too: the candidate table crosses the
+    # network exactly once, as two ints per row. Beyond the cap, the id-only
+    # dedup + embedding joins + window path below is unchanged.
+    id_type = dict(queries.select(F.col(id_col)).dtypes)[id_col]
+    n_rows, dim = c.select(
+        F.count("*").alias("n"), F.first(F.size("neighbor_e")).alias("d")
+    ).first()
+    if (n_rows or 0) * (dim or 0) * 8 * 2 <= DEFAULT_MAX_BROADCAST_BYTES:
+        out = _gather_score_topk(cand, q, c, k, id_type)
+        if out is not None:
+            return out
     scored = (
-        cand.join(q, "query_id").join(c, "neighbor_id")
-        .withColumn("cos", _dot(F.col("query_e"), F.col("neighbor_e"))
+        cand.dropDuplicates(["query_id", "neighbor_id"])
+        .join(q, "query_id").join(c, "neighbor_id")
+        .withColumn("cos", dot_udf(F.col("query_e"), F.col("neighbor_e"))
                     / (F.col("query_n") * F.col("neighbor_n")))
     )
     return _topk(scored, k)

@@ -523,32 +523,35 @@ def embedding_neardup_pairs(
             .filter(F.col("rid1") < F.col("rid2"))
         )
     elif method == "lsh":
+        from pyspark.sql.functions import pandas_udf
+
         from .ann import md5_planes
 
         if dim is None:
             dim = len(base.select("e").first()["e"])
         planes = md5_planes(seed, n_planes * n_bands, dim)
-        sig_cols = []
-        for band in range(n_bands):
-            bits = []
-            for p in range(n_planes):
-                w = planes[band * n_planes + p]
-                proj = F.aggregate(
-                    F.zip_with(F.col("e"), F.array(*[F.lit(float(x)) for x in w]),
-                               lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, v: acc + v)
-                bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) *
-                            F.lit(1 << p))
-            sig_cols.append(sum(bits[1:], bits[0]).alias(f"__b{band}"))
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+        # one numpy matmul per Arrow batch replaces n_bands*n_planes
+        # interpreted zip_with dot products per row (guide §4.2) — the same
+        # sign-band construction ann_lsh_topk uses, bit-for-bit: band value
+        # b = sum over planes p of (e . w[b*P+p] >= 0) << p
+        def _band_sigs(emb):
+            M = np.stack(emb.to_numpy()).astype(np.float64)
+            bits = (M @ planes.T >= 0).reshape(len(M), n_bands, n_planes)
+            vals = (bits * weights).sum(axis=2).astype(np.int64)
+            return pd.Series(list(vals))
+
+        _band_sigs.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+        band_udf = pandas_udf(_band_sigs, "array<long>")
+
         # id-only band join: the banded shuffle carries (rid, band, bv) ONLY —
         # embeddings are re-attached to the deduped candidate pairs with two
         # hash joins against the persisted base (the payload never rides the
         # xbands explosion or the hot-bucket join output)
         bands_df = base.select(
-            "rid", *sig_cols
-        ).select(
             "rid",
-            F.posexplode(F.array(*[F.col(f"__b{b}") for b in range(n_bands)])).alias("band", "bv"),
+            F.posexplode(band_udf(F.col("e"))).alias("band", "bv"),
         )
         bands_df = persist_tracked(bands_df)
         bands_df = cap_band_buckets(bands_df, ("band", "bv"), max_band_bucket,
@@ -567,8 +570,17 @@ def embedding_neardup_pairs(
         )
     else:
         raise ValueError(method)
+    if method == "lsh":
+        # Arrow-batched verify: one einsum per batch over the candidate
+        # cohort (the brute path below stays pure-Column — it is the declared
+        # no-Python oracle baseline)
+        from .ann import _dot_udf
+
+        sim = _dot_udf()(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    else:
+        sim = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
-        cand.withColumn(sim_col, _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
+        cand.withColumn(sim_col, sim)
         .filter(F.col(sim_col) >= threshold)
         .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), sim_col)
     )
