@@ -859,10 +859,21 @@ def _q_feature_matrix_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = m.select("id1", "id2",
                    *[F.round(F.col(f.name), 6).alias(f.name) for f in feats])
     # force every feature column under count() (NULL-able -> coalesce);
-    # always true, so the row set is unchanged
+    # always true, so the row set is unchanged. The predicate tests a
+    # GENERATE output (explode of a one-element array) instead of a plain
+    # projection: a bare filter was pushed below the payload projections all
+    # the way into the second join's condition, where every feature was
+    # re-evaluated per joined row with none of the shared-triple reuse —
+    # the whole matrix computed twice (guide §7.2 "duplicated subtrees").
+    # Predicates referencing generator output cannot be pushed through the
+    # Generate, so the features are computed exactly once.
     total = sum((F.coalesce(F.col(f.name), F.lit(0.0)) for f in feats[1:]),
                 F.coalesce(F.col(feats[0].name), F.lit(0.0)))
-    return out.filter(total > F.lit(float("-1e18")))
+    return (
+        out.select("*", F.explode(F.array(total)).alias("__force"))
+        .filter(F.col("__force") > F.lit(float("-1e18")))
+        .drop("__force")
+    )
 
 
 def _q_weighted_ovlp_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:

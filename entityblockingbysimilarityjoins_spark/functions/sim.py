@@ -197,7 +197,12 @@ def _batch_udf(batch_fn):
     # real type objects (the module-level `from __future__ import annotations`
     # would stringify inline hints, which pandas_udf cannot resolve)
     _udf.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    return pandas_udf(_udf, "double")
+    # asNondeterministic: a filter over a column computed by this UDF
+    # otherwise evaluates the UDF TWICE (once below the pushed-down filter,
+    # once in the output projection — two ArrowEvalPython nodes for one
+    # call); these scorers are the most expensive UDFs in the repo, so the
+    # lost reorderings are a fine trade (optimization guide §4.4)
+    return pandas_udf(_udf, "double").asNondeterministic()
 
 
 def jaro_winkler(a: Column, b: Column) -> Column:

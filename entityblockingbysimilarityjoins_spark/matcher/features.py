@@ -150,6 +150,27 @@ def attach_pair_payload(
     return pairs.join(l, "id1").join(r, "id2")
 
 
+def _sim_from_counts(sim: str, o: Column, l1: Column, l2: Column) -> Column:
+    """The SET_SIMS formulas over a precomputed (overlap, |a|, |b|) triple —
+    exactly the expressions functions.sim builds from array_intersect/size,
+    so values are bit-identical."""
+    if sim == "overlap":
+        return o
+    if sim == "jac":
+        denom = l1 + l2 - o
+        return F.when(denom > 0, o / denom).otherwise(F.lit(0.0))
+    if sim == "cos":
+        denom = F.sqrt(l1.cast("double") * l2.cast("double"))
+        return F.when(denom > 0, o / denom).otherwise(F.lit(0.0))
+    if sim == "dice":
+        denom = (l1 + l2).cast("double")
+        return F.when(denom > 0, F.lit(2.0) * o / denom).otherwise(F.lit(0.0))
+    if sim == "overlap_coeff":
+        denom = F.least(l1, l2).cast("double")
+        return F.when(denom > 0, o / denom).otherwise(F.lit(0.0))
+    raise ValueError(sim)
+
+
 def extract_features(
     pairs: DataFrame,
     records: DataFrame,
@@ -162,7 +183,15 @@ def extract_features(
 
     Tokenization is materialized on the records side (O(records), once per
     distinct (attr, tok, settings)) before the pair join — only array
-    intersections run per pair."""
+    intersections run per pair.
+
+    The per-pair set features are computed in TWO stacked projections: the
+    first evaluates one shared (overlap, |a|, |b|) triple per tokenization,
+    the second derives every sim from that triple. All features of one
+    tokenization therefore cost ONE array_intersect per pair instead of one
+    each (e.g. 8 -> 3 for the documents feature set) — CollapseProject keeps
+    the stages separate because the triple columns are expensive and
+    multiply referenced (SPARK-36718), so the intersect is evaluated once."""
     attrs = sorted({f.attr for f in features})
     tok_feats = {_tok_col(f): f for f in features if f.tok}
     rec = records.select(id_col, *attrs)
@@ -180,12 +209,36 @@ def extract_features(
     # and falls back to sort-merge (AQE skew-aware) beyond that
     payload = pairs.join(l, "id1").join(r, "id2")
 
+    # stage 1: shared per-tokenization triples (one intersect per pair each)
+    mid_cols = [F.col("id1"), F.col("id2"), *[F.col(c) for c in keep_cols]]
+    mid_cols += [F.col(f"l_{a}") for a in attrs] + [F.col(f"r_{a}") for a in attrs]
+    for cname in tok_feats:
+        tl, tr = F.col(f"l_{cname}"), F.col(f"r_{cname}")
+        mid_cols += [
+            F.size(F.array_intersect(tl, tr)).cast("double").alias(f"__o_{cname}"),
+            F.size(tl).alias(f"__la_{cname}"),
+            F.size(tr).alias(f"__lb_{cname}"),
+        ]
+    mid = payload.select(*mid_cols)
+
+    # stage 2: every feature from its triple (set sims) or raw attrs
     cols = [F.col("id1"), F.col("id2"), *[F.col(c) for c in keep_cols]]
     for feat in features:
-        tl = F.col(f"l_{_tok_col(feat)}") if feat.tok else None
-        tr = F.col(f"r_{_tok_col(feat)}") if feat.tok else None
-        cols.append(
-            _feature_col(feat, F.col(f"l_{feat.attr}"), F.col(f"r_{feat.attr}"),
-                         tl, tr, topk_normalize=topk_normalize).alias(feat.name)
-        )
-    return payload.select(*cols)
+        lraw, rraw = F.col(f"l_{feat.attr}"), F.col(f"r_{feat.attr}")
+        if feat.tok:
+            cname = _tok_col(feat)
+            o = F.col(f"__o_{cname}")
+            la, lb = F.col(f"__la_{cname}"), F.col(f"__lb_{cname}")
+            sim_key = feat.sim
+            if topk_normalize and sim_key == "overlap":
+                sim_key = "overlap_coeff"
+            val = _sim_from_counts(sim_key, o, la, lb)
+            cols.append(
+                F.when(_empty(lraw) | _empty(rraw) | (la == 0) | (lb == 0),
+                       F.lit(None).cast("double"))
+                .otherwise(val).alias(feat.name))
+        else:
+            cols.append(
+                _feature_col(feat, lraw, rraw,
+                             topk_normalize=topk_normalize).alias(feat.name))
+    return mid.select(*cols)
