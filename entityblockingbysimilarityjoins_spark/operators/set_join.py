@@ -148,9 +148,40 @@ class _InlineVocab:
         for r in rows:
             kv += [F.lit(r["token"]), F.lit(int(r["tid"]))]
         self.token_map = F.create_map(*kv)
-        self.idf_arr = F.lit([float(r["idf"]) for r in rows])
+        self.idfs = [float(r["idf"]) for r in rows]
+        self.idf_arr = F.lit(self.idfs)
         self.n = len(rows)
         self.n_words = max(1, -(-self.n // 64))
+
+    def wo_lut(self, w: int, j: int) -> list[float]:
+        """256-entry lookup table: byte j of mask word w -> sum of the IDFs
+        of its set bits (added in ascending-tid order, float64)."""
+        base = w * 64 + j * 8
+        out = []
+        for b in range(256):
+            s = 0.0
+            for i in range(8):
+                if (b >> i) & 1 and base + i < self.n:
+                    s += self.idfs[base + i]
+            out.append(s)
+        return out
+
+    def weighted_overlap(self, side1: str, side2: str) -> Column:
+        """IDF-weighted overlap from the bitmask columns: the intersection
+        mask is split into bytes and each byte indexes a precomputed
+        256-entry IDF-sum table — pure codegen expressions, no per-token
+        interpreted fold over the intersection array (guide §4.1)."""
+        wo = None
+        for w in range(self.n_words):
+            m = F.col(f"__bm{w}{side1}").bitwiseAND(F.col(f"__bm{w}{side2}"))
+            for j in range(8):
+                if w * 64 + j * 8 >= self.n:
+                    break
+                lut = F.lit(self.wo_lut(w, j))
+                byte = F.shiftrightunsigned(m, j * 8).bitwiseAND(F.lit(255))
+                term = F.get(lut, byte.cast("int"))
+                wo = term if wo is None else wo + term
+        return wo
 
 
 def _inline_vocab(dictionary: DataFrame) -> _InlineVocab | None:
@@ -337,9 +368,13 @@ def _entries(
     else:
         # suffix weights ride the pre-computed per-record scan (suffixs) —
         # one posexplode, zero joins, zero windows
+        payload = (
+            [F.col(f"__bm{w}").alias(f"__bm{w}{side}") for w in range(n_mask_words)]
+            if n_mask_words else [F.col("tids").alias(f"t{side}")]
+        )
         cols = [
             F.col("rid").alias(f"rid{side}"),
-            F.col("tids").alias(f"t{side}"),
+            *payload,
             F.col("len").alias(f"len{side}"),
             F.col("wt").alias(f"w{side}"),
         ]
@@ -366,7 +401,8 @@ def _entries(
 
 
 def _sim_value(sim: str, weighted: bool, idf_arr: Column | None = None,
-               n_mask_words: int | None = None) -> Column:
+               n_mask_words: int | None = None,
+               inline: "_InlineVocab | None" = None) -> Column:
     t1, t2 = F.col("t1"), F.col("t2")
     if n_mask_words and not weighted:
         o = _mask_overlap("1", "2", n_mask_words).cast("double")
@@ -376,6 +412,15 @@ def _sim_value(sim: str, weighted: bool, idf_arr: Column | None = None,
         if sim == "cos":
             return o / F.sqrt(l1.cast("double") * l2.cast("double"))
         return F.lit(2.0) * o / (l1 + l2)
+    if weighted and n_mask_words and inline is not None:
+        # byte-LUT weighted overlap over the mask intersection — codegen
+        wo = inline.weighted_overlap("1", "2")
+        w1, w2 = F.col("w1"), F.col("w2")
+        if sim == "jac":
+            return wo / (w1 + w2 - wo)
+        if sim == "cos":
+            return wo / F.sqrt(w1 * w2)
+        return F.lit(2.0) * wo / (w1 + w2)
     if weighted:
         if idf_arr is not None:
             wo = F.aggregate(
@@ -405,7 +450,8 @@ def _sim_value(sim: str, weighted: bool, idf_arr: Column | None = None,
 def _fused_verify(joined: DataFrame, sim: str, threshold: float, weighted: bool,
                   sim_col: str, canonicalize: bool,
                   idf_arr: Column | None = None,
-                  n_mask_words: int | None = None) -> DataFrame:
+                  n_mask_words: int | None = None,
+                  inline: "_InlineVocab | None" = None) -> DataFrame:
     """length + positional filters and inline similarity verification —
     all inside the join's codegen stage; no candidate materialization."""
     f = _prefix_factor(sim, threshold)
@@ -422,7 +468,8 @@ def _fused_verify(joined: DataFrame, sim: str, threshold: float, weighted: bool,
         ub = F.lit(1) + F.least(F.col("len1") - F.col("pos1") - 1,
                                 F.col("len2") - F.col("pos2") - 1)
         j = j.filter(ub >= _min_overlap(sim, threshold, F.col("len1"), F.col("len2")))
-    j = j.withColumn(sim_col, _sim_value(sim, weighted, idf_arr, n_mask_words)
+    j = j.withColumn(sim_col,
+                     _sim_value(sim, weighted, idf_arr, n_mask_words, inline)
                      ).filter(F.col(sim_col) >= threshold)
     if canonicalize:
         out = j.select(F.least("rid1", "rid2").alias("id1"),
@@ -471,7 +518,7 @@ def set_similarity_self_join(
         idf_arr = _idf_literal(dictionary, weighted, broadcast_dict,
                                max_idf_literal_entries)
     need_map = weighted and idf_arr is None
-    n_mask = (inline.n_words if inline is not None else None) if not weighted else None
+    n_mask = inline.n_words if inline is not None else None
     enc = _prepare(df, id_col, tokens_col, dictionary, weighted, broadcast_dict,
                    need_idf_map=need_map, n_mask_words=n_mask, inline=inline)
     if group_identical:
@@ -519,7 +566,7 @@ def set_similarity_self_join(
     )
     verified = _fused_verify(joined, sim, threshold, weighted, sim_col,
                              canonicalize=True, idf_arr=idf_arr,
-                             n_mask_words=n_mask)
+                             n_mask_words=n_mask, inline=inline)
     if not group_identical:
         return verified
     # expand set-level pairs back to record pairs; no dedup shuffle needed —
@@ -576,7 +623,7 @@ def set_similarity_rs_join(
         idf_arr = _idf_literal(dictionary, weighted, broadcast_dict,
                                max_idf_literal_entries)
     need_map = weighted and idf_arr is None
-    n_mask = (inline.n_words if inline is not None else None) if not weighted else None
+    n_mask = inline.n_words if inline is not None else None
     left = _prepare(df_r, id_col, tokens_col, dictionary, weighted, broadcast_dict,
                     need_idf_map=need_map, n_mask_words=n_mask, inline=inline)
     right = _prepare(df_s, id_col, tokens_col, dictionary, weighted, broadcast_dict,
@@ -594,7 +641,7 @@ def set_similarity_rs_join(
     a2 = r.filter(F.col("short2")).repartition(2 * par)
     c2 = a2.join(l, "tok").filter(F.col(m2) < F.col(m1))
     v1 = _fused_verify(c1, sim, threshold, weighted, sim_col, canonicalize=False,
-                       idf_arr=idf_arr, n_mask_words=n_mask)
+                       idf_arr=idf_arr, n_mask_words=n_mask, inline=inline)
     v2 = _fused_verify(c2, sim, threshold, weighted, sim_col, canonicalize=False,
-                       idf_arr=idf_arr, n_mask_words=n_mask)
+                       idf_arr=idf_arr, n_mask_words=n_mask, inline=inline)
     return v1.unionByName(v2).dropDuplicates(["id1", "id2"])

@@ -78,23 +78,84 @@ def topk_via_ta(
                                 F.min("__rid").alias("__gid"))
     )
     m = grouped.select(F.explode("__members").alias("__rid"), "__gid")
-    rep = grouped.select("__gid", "__toks")
-    p2 = persist_tracked(
+    pairs = persist_tracked(pairs)
+    p2 = (
         pairs.join(m.withColumnsRenamed({"__rid": "id1", "__gid": "__g1"}), "id1")
         .join(m.withColumnsRenamed({"__rid": "id2", "__gid": "__g2"}), "id2")
     )
-    scored_gp = (
+    # tiny-vocab scoring (see set_join): representatives encode to bitmask
+    # words via a driver-inlined literal map, and the 4-sim TA score derives
+    # from (bit_count overlap, |a|, |b|) — the same double arithmetic as
+    # ta_score, with no per-group-pair string-array intersection. Large
+    # vocabularies keep the string path. n_records=1: the idf column of this
+    # dictionary is never read, so the corpus count job is skipped.
+    from ..functions.dictionary import build_dictionary
+    from .set_join import _inline_vocab
+
+    inline = _inline_vocab(
+        build_dictionary(t.select(F.col("__toks").alias("tokens")), n_records=1))
+    if inline is not None:
+        nw = inline.n_words
+        tids = F.array_sort(
+            F.filter(F.transform("__toks",
+                                 lambda x: F.element_at(inline.token_map, x)),
+                     lambda x: x.isNotNull())).cast("array<int>")
+        rep = grouped.select("__gid", F.size("__toks").alias("__l"),
+                             tids.alias("__tids"))
+        from .set_join import _mask_cols
+
+        rep = rep.select("__gid", "__l",
+                         *_mask_cols(F.col("__tids"), nw)).withColumnsRenamed(
+            {f"__bm{w}": f"__m{w}" for w in range(nw)})
+        l1 = F.col("__l1").cast("double")
+        l2 = F.col("__l2").cast("double")
+        o = F.bit_count(F.col("__m01").bitwiseAND(F.col("__m02")))
+        for w in range(1, nw):
+            o = o + F.bit_count(F.col(f"__m{w}1").bitwiseAND(F.col(f"__m{w}2")))
+        od = o.cast("double")
+        jac = F.when(l1 + l2 - od > 0, od / (l1 + l2 - od)).otherwise(F.lit(0.0))
+        cos = F.when(l1 * l2 > 0, od / F.sqrt(l1 * l2)).otherwise(F.lit(0.0))
+        dice = F.when(l1 + l2 > 0, F.lit(2.0) * od / (l1 + l2)).otherwise(F.lit(0.0))
+        oc = F.when(F.least(l1, l2) > 0, od / F.least(l1, l2)).otherwise(F.lit(0.0))
+        score = jac + cos + dice + oc
+        r1 = rep.select(F.col("__gid").alias("__g1"), F.col("__l").alias("__l1"),
+                        *[F.col(f"__m{w}").alias(f"__m{w}1") for w in range(nw)])
+        r2 = rep.select(F.col("__gid").alias("__g2"), F.col("__l").alias("__l2"),
+                        *[F.col(f"__m{w}").alias(f"__m{w}2") for w in range(nw)])
+    else:
+        rep = grouped.select("__gid", "__toks")
+        r1 = rep.withColumnsRenamed({"__gid": "__g1", "__toks": "__t1"})
+        r2 = rep.withColumnsRenamed({"__gid": "__g2", "__toks": "__t2"})
+        score = ta_score(F.col("__t1"), F.col("__t2"))
+    scored_gp = persist_tracked(
         p2.select("__g1", "__g2").distinct()
-        .join(rep.withColumnsRenamed({"__gid": "__g1", "__toks": "__t1"}), "__g1")
-        .join(rep.withColumnsRenamed({"__gid": "__g2", "__toks": "__t2"}), "__g2")
-        .select("__g1", "__g2",
-                ta_score(F.col("__t1"), F.col("__t2")).alias(score_col))
+        .join(r1, "__g1").join(r2, "__g2")
+        .select("__g1", "__g2", score.alias(score_col))
     )
     other = [c for c in pairs.columns if c not in ("id1", "id2")]
-    return (
+    full = (
         p2.join(scored_gp, ["__g1", "__g2"])
         .select("id1", "id2", *other, score_col)
-        .orderBy(F.desc(score_col), F.asc("id1"), F.asc("id2"))
+    )
+    # Group-level pre-top-K (k <= 10^5): every group pair contributes at
+    # least one record pair, so no record pair from a group pair scoring
+    # BELOW the k-th highest group-pair score can reach the record top-k —
+    # filter the expansion to group pairs at or above that threshold before
+    # the final TakeOrderedAndProject, instead of sorting the full expanded
+    # pair table (orders of magnitude fewer rows on duplicate-heavy
+    # corpora). The threshold probe collects exactly k scores.
+    if k <= 100_000:
+        top = scored_gp.orderBy(F.desc(score_col), F.asc("__g1"),
+                                F.asc("__g2")).limit(k).select(score_col).collect()
+        if len(top) == k:
+            s_star = top[-1][score_col]
+            full = (
+                p2.join(scored_gp.filter(F.col(score_col) >= s_star),
+                        ["__g1", "__g2"])
+                .select("id1", "id2", *other, score_col)
+            )
+    return (
+        full.orderBy(F.desc(score_col), F.asc("id1"), F.asc("id2"))
         .limit(k)
     )
 
