@@ -78,20 +78,48 @@ def edit_distance_self_join(
         .transform(persist_tracked)
     )
 
-    # ---- index side: own segments keyed by own length ----
+    # ---- index side: own segments keyed by own length; the string rides
+    # along so verification is INLINE in the join stage (see below) ----
     idx = slim.select(
         F.col("rid").alias("rid_i"),
         F.length("s").alias("l"),
         F.explode(_segments_expr(F.length("s"), d)).alias("seg"),
         F.col("s").alias("s_i"),
     ).select(
-        "rid_i", "l",
+        "rid_i", "l", "s_i",
         F.col("seg.pid").alias("pid"),
         F.expr("substring(s_i, seg.start, seg.seglen)").alias("piece"),
     )
 
-    # ---- probe side: for each partner length l in [m-d, m+d], each segment of
-    # scheme(l), all substrings of q with that seglen starting within +-d ----
+    # ---- probe side: for each partner length l in [m-d, m+d], each segment
+    # (pid, p, sl) of scheme(l), the substrings of q with that seglen whose
+    # start lies in PassJoin's multi-match window (stringjoin.cc:96-103):
+    # qstart - p in [max(-pid, delta - (d - pid)), min(pid, delta + (d - pid))]
+    # with delta = m - l — the tight pigeonhole bound, a strict subset of the
+    # naive +-d window (noticeably fewer probe rows and join candidates) ----
+    probe = _probe_pieces(slim, d)
+
+    # fused verify: the equi-join carries both strings, the banded
+    # levenshtein(threshold) runs in the SAME codegen stage, and only the
+    # tiny verified pair set is deduplicated — the old plan shuffled the
+    # full multi-million-row candidate set through a dropDuplicates exchange
+    # and re-attached both strings with two more joins (guide §2.4; the
+    # bounded-DP verify is far cheaper than shuffling candidates)
+    joined = probe.join(idx, ["l", "pid", "piece"]).filter(
+        F.col("rid_p") != F.col("rid_i"))
+    out = (
+        joined.withColumn(dist_col, F.levenshtein("q", "s_i", d))
+        .filter(F.col(dist_col) >= 0)  # levenshtein(.., threshold) -> -1 when > d
+        .select(F.least("rid_p", "rid_i").alias("id1"),
+                F.greatest("rid_p", "rid_i").alias("id2"), dist_col)
+        .dropDuplicates(["id1", "id2"])
+    )
+    return out
+
+
+def _probe_pieces(slim: DataFrame, d: int) -> DataFrame:
+    """(rid_p, q, l, pid, piece) probe substrings with the tight PassJoin
+    multi-match window. ``slim`` must carry (rid, s)."""
     probe = slim.select(
         F.col("rid").alias("rid_p"),
         F.col("s").alias("q"),
@@ -107,37 +135,22 @@ def edit_distance_self_join(
         F.col("seg.start").alias("p"),
         F.col("seg.seglen").alias("sl"),
     )
+    delta = F.col("m") - F.col("l")
+    lo = F.col("p") + F.greatest(-F.col("pid"), delta - (F.lit(d) - F.col("pid")))
+    hi = F.col("p") + F.least(F.col("pid"), delta + (F.lit(d) - F.col("pid")))
     probe = probe.select(
-        "rid_p", "q", "m", "l", "pid", "sl",
+        "rid_p", "q", "l", "pid", "sl",
         F.explode(
             F.sequence(
-                F.greatest(F.col("p") - d, F.lit(1)),
-                F.least(F.col("p") + d, F.col("m") - F.col("sl") + 1),
+                F.greatest(lo, F.lit(1)),
+                F.least(hi, F.col("m") - F.col("sl") + 1),
             )
         ).alias("qstart"),
     ).filter(F.col("qstart") >= 1).select(
-        "rid_p", "l", "pid",
+        "rid_p", "q", "l", "pid",
         F.expr("substring(q, qstart, sl)").alias("piece"),
     )
-
-    cand = (
-        probe.join(idx, ["l", "pid", "piece"])
-        .filter(F.col("rid_p") != F.col("rid_i"))
-        .select(
-            F.least("rid_p", "rid_i").alias("rid1"),
-            F.greatest("rid_p", "rid_i").alias("rid2"),
-        )
-        .dropDuplicates(["rid1", "rid2"])
-    )
-
-    out = (
-        cand.join(slim.select(F.col("rid").alias("rid1"), F.col("s").alias("s1")), "rid1")
-        .join(slim.select(F.col("rid").alias("rid2"), F.col("s").alias("s2")), "rid2")
-        .withColumn(dist_col, F.levenshtein("s1", "s2", d))
-        .filter(F.col(dist_col) >= 0)  # levenshtein(.., threshold) returns -1 when > d
-        .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), dist_col)
-    )
-    return out
+    return probe
 
 
 def edit_distance_rs_join(
@@ -160,8 +173,8 @@ def edit_distance_rs_join(
         .transform(persist_tracked)
     )
     r_slim = (
-        df_r.select(F.col(id_col).alias("rid_p"), F.col(str_col).alias("q"))
-        .filter(F.col("q").isNotNull() & (F.length("q") > 0))
+        df_r.select(F.col(id_col).alias("rid"), F.col(str_col).alias("s"))
+        .filter(F.col("s").isNotNull() & (F.length("s") > 0))
         .transform(persist_tracked)
     )
     idx = s_slim.select(
@@ -169,27 +182,14 @@ def edit_distance_rs_join(
         F.length("s_i").alias("l"),
         F.explode(_segments_expr(F.length("s_i"), d)).alias("seg"),
         "s_i",
-    ).select("rid_i", "l", F.col("seg.pid").alias("pid"),
+    ).select("rid_i", "l", "s_i", F.col("seg.pid").alias("pid"),
              F.expr("substring(s_i, seg.start, seg.seglen)").alias("piece"))
-    probe = r_slim.select(
-        "rid_p", "q", F.length("q").alias("m"),
-        F.explode(F.sequence(F.length("q") - d, F.length("q") + d)).alias("l"),
-    ).filter(F.col("l") >= 1)
-    probe = probe.select(
-        "rid_p", "q", "m", "l", F.explode(_segments_expr(F.col("l"), d)).alias("seg")
-    ).select("rid_p", "q", "m", "l", F.col("seg.pid").alias("pid"),
-             F.col("seg.start").alias("p"), F.col("seg.seglen").alias("sl"))
-    probe = probe.select(
-        "rid_p", "l", "pid",
-        F.explode(F.sequence(F.greatest(F.col("p") - d, F.lit(1)),
-                             F.least(F.col("p") + d, F.col("m") - F.col("sl") + 1))).alias("qstart"),
-        "q", "sl",
-    ).select("rid_p", "l", "pid", F.expr("substring(q, qstart, sl)").alias("piece"))
-    cand = probe.join(idx, ["l", "pid", "piece"]).select("rid_p", "rid_i").dropDuplicates()
+    # tight multi-match probe window + fused inline verify (see self join)
+    probe = _probe_pieces(r_slim, d)
     return (
-        cand.join(r_slim, "rid_p")
-        .join(s_slim, "rid_i")
+        probe.join(idx, ["l", "pid", "piece"])
         .withColumn(dist_col, F.levenshtein("q", "s_i", d))
         .filter(F.col(dist_col) >= 0)
         .select(F.col("rid_p").alias("id1"), F.col("rid_i").alias("id2"), dist_col)
+        .dropDuplicates(["id1", "id2"])
     )

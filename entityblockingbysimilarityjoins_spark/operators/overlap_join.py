@@ -49,9 +49,13 @@ def _prep(df: DataFrame, id_col: str, tokens_col: str, c: int, dictionary: DataF
     return enc
 
 
-def _prefix(enc: DataFrame, c: int, side: str, singletons: DataFrame | None) -> DataFrame:
+def _prefix(enc: DataFrame, c: int, side: str, singletons: DataFrame | None,
+            n_mask_words: int | None = None) -> DataFrame:
+    payload = ([F.col(f"__bm{w}").alias(f"__bm{w}{side}")
+                for w in range(n_mask_words)] if n_mask_words else [])
     e = enc.select(
         F.col("rid").alias(f"rid{side}"),
+        *payload,
         F.explode(F.slice("tids", 1, F.col("len") - F.lit(c - 1))).alias("tok"),
     )
     if singletons is not None:
@@ -81,25 +85,21 @@ def overlap_self_join(
     # fan-out repartition (see set_join): prefix entries are tiny relative
     # to the candidate pairs the join emits
     par = df.sparkSession.sparkContext.defaultParallelism
-    l = _prefix(enc, c, "1", singletons).repartition(2 * par)
-    r = _prefix(enc, c, "2", singletons)
-    cand = (
-        l.join(r, (l["tok"] == r["tok"]) & (F.col("rid1") < F.col("rid2")))
-        .select("rid1", "rid2")
-        .dropDuplicates(["rid1", "rid2"])
-    )
+    l = _prefix(enc, c, "1", singletons, n_mask).repartition(2 * par)
+    r = _prefix(enc, c, "2", singletons, n_mask)
+    joined = l.join(r, (l["tok"] == r["tok"]) & (F.col("rid1") < F.col("rid2")))
     if n_mask:
-        # bitset verify: the re-attach joins carry a few longs, the exact
-        # overlap is bit_count(m1 & m2) — identical counts, O(words)/pair
-        m1 = [F.col(f"__bm{w}").alias(f"__bm{w}1") for w in range(n_mask)]
-        m2 = [F.col(f"__bm{w}").alias(f"__bm{w}2") for w in range(n_mask)]
+        # fused bitset verify: the mask words ride the prefix entries, the
+        # exact overlap is bit_count(m1 & m2) INSIDE the join stage, and only
+        # verified pairs reach the dedup exchange — no candidate-set shuffle,
+        # no re-attach joins (guide §2.4; identical counts)
         return (
-            cand.join(enc.select(F.col("rid").alias("rid1"), *m1), "rid1")
-            .join(enc.select(F.col("rid").alias("rid2"), *m2), "rid2")
-            .withColumn(count_col, _mask_overlap("1", "2", n_mask))
+            joined.withColumn(count_col, _mask_overlap("1", "2", n_mask))
             .filter(F.col(count_col) >= c)
             .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), count_col)
+            .dropDuplicates(["id1", "id2"])
         )
+    cand = joined.select("rid1", "rid2").dropDuplicates(["rid1", "rid2"])
     return (
         cand.join(enc.select(F.col("rid").alias("rid1"), F.col("tids").alias("t1")), "rid1")
         .join(enc.select(F.col("rid").alias("rid2"), F.col("tids").alias("t2")), "rid2")
@@ -133,19 +133,18 @@ def overlap_rs_join(
                  inline=inline).transform(persist_tracked)
     right = _prep(df_s, id_col, tokens_col, c, dictionary, broadcast_dict,
                   inline=inline).transform(persist_tracked)
-    l = _prefix(left, c, "1", singletons)
-    r = _prefix(right, c, "2", singletons)
-    cand = l.join(r, l["tok"] == r["tok"]).select("rid1", "rid2").dropDuplicates(["rid1", "rid2"])
+    l = _prefix(left, c, "1", singletons, n_mask)
+    r = _prefix(right, c, "2", singletons, n_mask)
+    joined = l.join(r, l["tok"] == r["tok"])
     if n_mask:
-        m1 = [F.col(f"__bm{w}").alias(f"__bm{w}1") for w in range(n_mask)]
-        m2 = [F.col(f"__bm{w}").alias(f"__bm{w}2") for w in range(n_mask)]
+        # fused bitset verify — see overlap_self_join
         return (
-            cand.join(left.select(F.col("rid").alias("rid1"), *m1), "rid1")
-            .join(right.select(F.col("rid").alias("rid2"), *m2), "rid2")
-            .withColumn(count_col, _mask_overlap("1", "2", n_mask))
+            joined.withColumn(count_col, _mask_overlap("1", "2", n_mask))
             .filter(F.col(count_col) >= c)
             .select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), count_col)
+            .dropDuplicates(["id1", "id2"])
         )
+    cand = joined.select("rid1", "rid2").dropDuplicates(["rid1", "rid2"])
     return (
         cand.join(left.select(F.col("rid").alias("rid1"), F.col("tids").alias("t1")), "rid1")
         .join(right.select(F.col("rid").alias("rid2"), F.col("tids").alias("t2")), "rid2")

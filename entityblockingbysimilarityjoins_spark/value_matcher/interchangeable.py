@@ -265,6 +265,10 @@ def rematch_negatives(
     ∪ recovered negatives)."""
     from ..matcher.random_forest import apply_matcher
 
+    # both passes read the first-pass predictions (negatives here, positives
+    # in the final union) — persist the slim (id1, id2, match) projection so
+    # the feature matrix + forest run once, not once per branch
+    predicted = persist_tracked(predicted.select("id1", "id2", "match"))
     negatives = predicted.filter(~F.col("match")).select("id1", "id2")
     # localCheckpoint: the IC-max columns are deeply nested HOF expressions;
     # feeding them straight into the Arrow-UDF scorer trips Catalyst's
