@@ -234,15 +234,37 @@ def minhash_lsh_pairs(
     # xxhash64 array + 192 longs) saturated 6g-executor storage pools at
     # 12.5M distinct sets and execution OOM'd against block eviction
     # (exit 52) — and stored ~4x more bytes than these two frames combined.
+    # Tiny-vocab verify (see set_join): LSH collides far more candidate set
+    # pairs than survive exact verification on mid-similarity-dense corpora,
+    # so when the probed vocabulary inlines, each distinct set also carries
+    # bitmask words and the exact-Jaccard verify is bit_count arithmetic
+    # instead of a string-array intersection per candidate.
+    from ..functions.dictionary import build_dictionary
+    from .set_join import _inline_vocab, _mask_cols, _mask_overlap
+
+    inline = _inline_vocab(
+        build_dictionary(slim.select(F.col("toks").alias("tokens")), n_records=1))
+    if inline is not None:
+        tids = F.array_sort(
+            F.filter(F.transform("toks",
+                                 lambda x: F.element_at(inline.token_map, x)),
+                     lambda x: x.isNotNull())).cast("array<int>")
+        grouped = grouped.withColumn("__tids", tids)
+        grouped = grouped.select(
+            *[c for c in grouped.columns if c != "__tids"],
+            *_mask_cols(F.col("__tids"), inline.n_words))
     grouped = persist_tracked(grouped)
     base = (
         grouped
         .withColumn("__h", F.transform("toks", lambda t: F.xxhash64(t)))
         .withColumn("__sig", minhash_signature(F.col("__h"), num_perm, seed))
     )
+    nw = inline.n_words if inline is not None else 0
+    mask_pay = [f"__bm{w}" for w in range(nw)]
     bands_df = base.select(
         "gid",
         F.size("toks").alias("len"),
+        *mask_pay,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -256,30 +278,47 @@ def minhash_lsh_pairs(
     # fan-out repartition (see set_join): band buckets emit far more
     # candidate rows than they hold — keep the probe side wide
     par = df.sparkSession.sparkContext.defaultParallelism
-    l = bands_df.withColumnsRenamed({"gid": "gid1", "len": "len1"}).repartition(2 * par)
-    rr = bands_df.withColumnsRenamed({"gid": "gid2", "len": "len2"})
-    cand = (
+    l = bands_df.withColumnsRenamed(
+        {"gid": "gid1", "len": "len1", **{m: f"{m}1" for m in mask_pay}}
+    ).repartition(2 * par)
+    rr = bands_df.withColumnsRenamed(
+        {"gid": "gid2", "len": "len2", **{m: f"{m}2" for m in mask_pay}})
+    coll = (
         l.join(rr, ["band", "bh"])
         .filter(F.col("gid1") < F.col("gid2"))
-        # Jaccard length filter: prune before the distinct, it is the
-        # expensive shuffle when LSH collides densely. (A "first matching
-        # band" filter would avoid this shuffle entirely, but it needs
-        # per-row array slicing in an interpreted HOF — measured 10x slower
-        # than shuffling the narrow (gid1, gid2) rows.)
         .filter(F.least("len1", "len2")
                 >= F.ceil(F.lit(threshold) * F.greatest("len1", "len2") - F.lit(1e-9)))
-        .select("gid1", "gid2")
-        .dropDuplicates(["gid1", "gid2"])
     )
-    verified = (
-        cand.join(grouped.select(F.col("gid").alias("gid1"), F.col("toks").alias("t1"),
+    if inline is not None:
+        # fused bitset verify inside the band-join stage (the mask words are
+        # fixed-width longs riding the band rows — the band exchange stays
+        # free of array payloads): only exact-Jaccard SURVIVORS reach the
+        # dedup exchange, instead of every band collision. On mid-similarity-
+        # dense corpora collisions outnumber survivors ~50x.
+        o = _mask_overlap("1", "2", nw)
+        verified = (
+            coll.withColumn("__o", o)
+            .withColumn(sim_col, F.col("__o")
+                        / (F.col("len1") + F.col("len2") - F.col("__o")))
+            .filter(F.col(sim_col) >= threshold)
+            .select("gid1", "gid2", sim_col)
+            .dropDuplicates(["gid1", "gid2"])
+            .join(grouped.select(F.col("gid").alias("gid1"),
                                  F.col("members").alias("m1")), "gid1")
-        .join(grouped.select(F.col("gid").alias("gid2"), F.col("toks").alias("t2"),
-                             F.col("members").alias("m2")), "gid2")
-        .withColumn("__o", F.size(F.array_intersect("t1", "t2")))
-        .withColumn(sim_col, F.col("__o") / (F.size("t1") + F.size("t2") - F.col("__o")))
-        .filter(F.col(sim_col) >= threshold)
-    )
+            .join(grouped.select(F.col("gid").alias("gid2"),
+                                 F.col("members").alias("m2")), "gid2")
+        )
+    else:
+        cand = coll.select("gid1", "gid2").dropDuplicates(["gid1", "gid2"])
+        verified = (
+            cand.join(grouped.select(F.col("gid").alias("gid1"), F.col("toks").alias("t1"),
+                                     F.col("members").alias("m1")), "gid1")
+            .join(grouped.select(F.col("gid").alias("gid2"), F.col("toks").alias("t2"),
+                                 F.col("members").alias("m2")), "gid2")
+            .withColumn("__o", F.size(F.array_intersect("t1", "t2")))
+            .withColumn(sim_col, F.col("__o") / (F.size("t1") + F.size("t2") - F.col("__o")))
+            .filter(F.col(sim_col) >= threshold)
+        )
     cross = (
         verified.withColumn("a", F.explode("m1")).withColumn("b", F.explode("m2"))
         .select(F.least("a", "b").alias("id1"), F.greatest("a", "b").alias("id2"), sim_col)

@@ -56,9 +56,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Let the planner pick shuffled-hash joins when the per-partition
+        # build side fits (guide §9): sort-merge pays two sorts that the
+        # mid-size dictionary/membership joins here never need; AQE still
+        # falls back and handles skew. Override via SPARK_GRAFT_PREFER_SMJ=1
+        # for memory-constrained executors where SHJ build sides could OOM.
+        .config("spark.sql.join.preferSortMergeJoin",
+                "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1" else "false")
         # Arrow for pandas UDF exchange (feature scoring, join verification).
+        # 20k-row batches: the scorer UDFs (JW/ME, minhash, band signatures)
+        # are numpy-vectorized and amortize per-batch overhead; rows on these
+        # paths are narrow (short strings / id lists), so batch memory stays
+        # small. SPARK_GRAFT_ARROW_BATCH overrides for wide-row deployments.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"))
         .config("spark.sql.session.timeZone", "UTC")
         # single-JVM local mode: the "driver" heap is also every executor's
         # heap — 8g GC-thrashes 32-thread shuffles at bench scale; capped by
