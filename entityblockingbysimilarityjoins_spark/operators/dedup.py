@@ -239,11 +239,9 @@ def minhash_lsh_pairs(
     # so when the probed vocabulary inlines, each distinct set also carries
     # bitmask words and the exact-Jaccard verify is bit_count arithmetic
     # instead of a string-array intersection per candidate.
-    from ..functions.dictionary import build_dictionary
-    from .set_join import _inline_vocab, _mask_cols, _mask_overlap
+    from .set_join import _inline_vocab_unweighted, _mask_cols, _mask_overlap
 
-    inline = _inline_vocab(
-        build_dictionary(slim.select(F.col("toks").alias("tokens")), n_records=1))
+    inline = _inline_vocab_unweighted(slim.select(F.col("toks").alias("tokens")))
     if inline is not None:
         tids = F.array_sort(
             F.filter(F.transform("toks",

@@ -22,7 +22,28 @@ from pyspark.sql import functions as F
 
 from ..functions.dictionary import build_dictionary, encode_tokens
 from .cache import persist_tracked
-from .set_join import _InlineVocab, _inline_vocab, _mask_cols, _mask_overlap
+from .set_join import (
+    _InlineVocab,
+    _inline_vocab,
+    _inline_vocab_unweighted,
+    _mask_cols,
+    _mask_overlap,
+)
+
+
+def _vocab_and_singletons(df_tokens: DataFrame, dictionary: DataFrame | None):
+    """(inline, singleton_tids, dictionary): the one-job probe when no
+    dictionary was supplied (singleton tids derived in Python from the
+    collected freqs), else the probe over the given dictionary with the
+    freq<2 filter as a frame."""
+    if dictionary is None:
+        inline = _inline_vocab_unweighted(df_tokens)
+        if inline is not None:
+            singles = [inline.tid_by_token[t]
+                       for t, f in inline.freqs.items() if f < 2]
+            return inline, singles, None
+        dictionary = build_dictionary(df_tokens)
+    return _inline_vocab(dictionary), None, dictionary
 
 
 def _prep(df: DataFrame, id_col: str, tokens_col: str, c: int, dictionary: DataFrame,
@@ -49,7 +70,7 @@ def _prep(df: DataFrame, id_col: str, tokens_col: str, c: int, dictionary: DataF
     return enc
 
 
-def _prefix(enc: DataFrame, c: int, side: str, singletons: DataFrame | None,
+def _prefix(enc: DataFrame, c: int, side: str, singletons,
             n_mask_words: int | None = None) -> DataFrame:
     payload = ([F.col(f"__bm{w}").alias(f"__bm{w}{side}")
                 for w in range(n_mask_words)] if n_mask_words else [])
@@ -58,7 +79,10 @@ def _prefix(enc: DataFrame, c: int, side: str, singletons: DataFrame | None,
         *payload,
         F.explode(F.slice("tids", 1, F.col("len") - F.lit(c - 1))).alias("tok"),
     )
-    if singletons is not None:
+    if isinstance(singletons, list):
+        if singletons:  # Python-derived singleton tids -> codegen NOT IN set
+            e = e.filter(~F.col("tok").isin(singletons))
+    elif singletons is not None:
         e = e.join(F.broadcast(singletons), e["tok"] == singletons["stid"], "left_anti")
     return e
 
@@ -75,10 +99,10 @@ def overlap_self_join(
     """All pairs (id1 < id2) sharing >= c tokens, with the exact overlap count."""
     if c < 1:
         raise ValueError("overlap threshold c must be >= 1")
-    if dictionary is None:
-        dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
-    singletons = dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid"))
-    inline = _inline_vocab(dictionary)
+    inline, singles, dictionary = _vocab_and_singletons(
+        df.select(F.col(tokens_col).alias("tokens")), dictionary)
+    singletons = (singles if singles is not None else
+                  dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid")))
     n_mask = inline.n_words if inline is not None else None
     enc = _prep(df, id_col, tokens_col, c, dictionary, broadcast_dict,
                 inline=inline).transform(persist_tracked)
@@ -122,12 +146,13 @@ def overlap_rs_join(
     """All (r, s) pairs sharing >= c tokens (ovlpjoin.cc:376-447 contract)."""
     if c < 1:
         raise ValueError("overlap threshold c must be >= 1")
+    union = None
     if dictionary is None:
         union = df_r.select(F.col(tokens_col).alias("tokens")).unionAll(
             df_s.select(F.col(tokens_col).alias("tokens")))
-        dictionary = build_dictionary(union)
-    singletons = dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid"))
-    inline = _inline_vocab(dictionary)
+    inline, singles, dictionary = _vocab_and_singletons(union, dictionary)
+    singletons = (singles if singles is not None else
+                  dictionary.filter(F.col("freq") < 2).select(F.col("tid").alias("stid")))
     n_mask = inline.n_words if inline is not None else None
     left = _prep(df_r, id_col, tokens_col, c, dictionary, broadcast_dict,
                  inline=inline).transform(persist_tracked)

@@ -152,6 +152,8 @@ class _InlineVocab:
         self.idf_arr = F.lit(self.idfs)
         self.n = len(rows)
         self.n_words = max(1, -(-self.n // 64))
+        self.tid_by_token = {r["token"]: int(r["tid"]) for r in rows}
+        self.freqs: dict | None = None  # set by the one-job unweighted probe
 
     def wo_lut(self, w: int, j: int) -> list[float]:
         """256-entry lookup table: byte j of mask word w -> sum of the IDFs
@@ -192,6 +194,29 @@ def _inline_vocab(dictionary: DataFrame) -> _InlineVocab | None:
     if not rows:
         return None
     return _InlineVocab(rows)
+
+
+def _inline_vocab_unweighted(tokens_df: DataFrame) -> _InlineVocab | None:
+    """ONE-job inline vocabulary for unweighted joins: collect the (token,
+    freq) pairs under the cap straight off the frequency aggregation and
+    assign tids by the same (freq ASC, token ASC) total order in Python —
+    the whole distributed two-pass rank pipeline (plus its corpus-count and
+    probe jobs) never runs. IDFs are zeroed: no unweighted code path reads
+    them. Returns None (caller falls back to build_dictionary) beyond the
+    cap — the LIMIT bounds the collect either way."""
+    cap = MAX_BITSET_WORDS * 64
+    freqs = (
+        tokens_df.select(F.explode("tokens").alias("token"))
+        .groupBy("token").agg(F.count("*").alias("freq"))
+    )
+    rows = freqs.limit(cap + 1).collect()
+    if not rows or len(rows) > cap:
+        return None
+    ranked = sorted(rows, key=lambda r: (r["freq"], r["token"]))
+    vocab = _InlineVocab([{"token": r["token"], "tid": i, "idf": 0.0}
+                          for i, r in enumerate(ranked)])
+    vocab.freqs = {r["token"]: r["freq"] for r in rows}
+    return vocab
 
 
 def _mask_cols(tids: Column, n_words: int) -> list[Column]:
@@ -505,13 +530,21 @@ def set_similarity_self_join(
     dedup-shuffle unnecessary (set pairs are disjoint by construction)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    inline = None
     if dictionary is None:
-        dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
+        if not weighted and max_token_freq is None:
+            # one-job vocabulary probe; falls through to the full
+            # dictionary build only when the vocab exceeds the inline cap
+            inline = _inline_vocab_unweighted(
+                df.select(F.col(tokens_col).alias("tokens")))
+        if inline is None:
+            dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
     if weighted:
         dictionary = persist_tracked(dictionary)
     # literal-vs-map verification path chosen by VOCAB SIZE, not trust in the
     # caller's flag: oversized vocabularies never collect to the driver
-    inline = _inline_vocab(dictionary)
+    if inline is None:
+        inline = _inline_vocab(dictionary)
     if inline is not None:
         idf_arr = inline.idf_arr if weighted else None
     else:
@@ -609,14 +642,19 @@ def set_similarity_rs_join(
 
     Two asymmetric index-vs-probe joins cover both length orderings (ties
     treat the R side as smaller)."""
+    inline = None
     if dictionary is None:
         union = df_r.select(F.col(tokens_col).alias("tokens")).unionAll(
             df_s.select(F.col(tokens_col).alias("tokens"))
         )
-        dictionary = build_dictionary(union)
+        if not weighted and max_token_freq is None:
+            inline = _inline_vocab_unweighted(union)
+        if inline is None:
+            dictionary = build_dictionary(union)
     if weighted:
         dictionary = persist_tracked(dictionary)
-    inline = _inline_vocab(dictionary)
+    if inline is None:
+        inline = _inline_vocab(dictionary)
     if inline is not None:
         idf_arr = inline.idf_arr if weighted else None
     else:

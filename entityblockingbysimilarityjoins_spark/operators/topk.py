@@ -87,13 +87,10 @@ def topk_via_ta(
     # words via a driver-inlined literal map, and the 4-sim TA score derives
     # from (bit_count overlap, |a|, |b|) — the same double arithmetic as
     # ta_score, with no per-group-pair string-array intersection. Large
-    # vocabularies keep the string path. n_records=1: the idf column of this
-    # dictionary is never read, so the corpus count job is skipped.
-    from ..functions.dictionary import build_dictionary
-    from .set_join import _inline_vocab
+    # vocabularies keep the string path. One probe job total.
+    from .set_join import _inline_vocab_unweighted
 
-    inline = _inline_vocab(
-        build_dictionary(t.select(F.col("__toks").alias("tokens")), n_records=1))
+    inline = _inline_vocab_unweighted(t.select(F.col("__toks").alias("tokens")))
     if inline is not None:
         nw = inline.n_words
         tids = F.array_sort(
