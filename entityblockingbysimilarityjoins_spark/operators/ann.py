@@ -462,6 +462,13 @@ def ann_ivf_topk(
     Ties everywhere use the standing rule (cos DESC, id ASC); ``min`` over
     ``struct(-cos, cent_id)`` encodes exactly that for any orderable id
     type. Returns (query_id, neighbor_id, cos, rank).
+
+    Oracle precondition (ADVICE r5): ``_prep`` drops zero-norm vectors
+    BEFORE centroid selection and cell assignment, while the DuckDB oracle
+    selects over all embedding rows — the cross-engine exactness therefore
+    assumes the corpus contains no zero-norm embedding (true for the
+    generated testdata; a zero-norm row would shift the seeded centroid
+    sample).
     """
     q = persist_tracked(_prep(queries, id_col, emb_col, "query"))
     c = persist_tracked(_prep(corpus, id_col, emb_col, "neighbor"))

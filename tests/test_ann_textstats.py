@@ -122,6 +122,13 @@ def test_winnow_fingerprint(spark):
         assert got[i] == ref(t), i
     assert set(got[5]) & set(got[6])   # shared k+w-1 run => common selection
     assert got[0] == got[7]            # case/whitespace invariant
+
+
+def test_multimodal_plumbing(spark):
+    """Fake-decoder multimodal plumbing: deterministic features per payload,
+    frame-sample fan-out, fake=False raises (no PIL/ffmpeg in container).
+    (Restored as its own named test — ADVICE r5: it had been absorbed into
+    the tail of test_winnow_fingerprint by a mis-applied edit.)"""
     from entityblockingbysimilarityjoins_spark.operators.multimodal import (
         decode_image_features,
         sample_video_frames,
