@@ -216,9 +216,14 @@ def _q_block_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fused K1: identical rows to topk_via_ta over the jac>=0.8 self join,
+    # computed at the token-set-group level (operators/topk.py docstring)
+    from entityblockingbysimilarityjoins_spark.operators.topk import (
+        topk_over_self_join,
+    )
+
     toks = _doc_tokens(spark, sf_dir)
-    pairs = set_similarity_self_join(toks, "rid", "tokens", "jac", 0.8).select("id1", "id2")
-    return topk_via_ta(pairs, toks, k=200)
+    return topk_over_self_join(toks, k=200, sim="jac", threshold=0.8)
 
 
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

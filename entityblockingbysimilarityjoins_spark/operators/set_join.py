@@ -219,6 +219,50 @@ def _inline_vocab_unweighted(tokens_df: DataFrame) -> _InlineVocab | None:
     return vocab
 
 
+def _inline_vocab_weighted(tokens_df: DataFrame) -> _InlineVocab | None:
+    """ONE-job inline vocabulary for WEIGHTED joins (guide §2.4: the whole
+    distributed dictionary pipeline — corpus count, freq shuffle, range
+    repartition, per-partition rank, offset window, collect — becomes one
+    aggregation job when the vocabulary fits the bitset cap).
+
+    A sentinel '' token appended to every record rides the same explode, so
+    record count and token frequencies come out of ONE groupBy (tokenizers
+    never emit empty strings, so '' cannot collide; null/absent token arrays
+    coalesce to [] and still count one record). IDFs must be bit-identical
+    to build_dictionary's JVM ``log10(N/freq)`` — Python's libm log10
+    differs by 1 ulp on real corpus values — so they are evaluated in one
+    driver-local constant query over the collected freqs (LocalTableScan,
+    no shuffle)."""
+    cap = MAX_BITSET_WORDS * 64
+    freqs = (
+        tokens_df.select(
+            F.explode(
+                F.array_append(F.coalesce(F.col("tokens"),
+                                          F.array().cast("array<string>")),
+                               F.lit(""))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("freq"))
+    )
+    rows = freqs.limit(cap + 2).collect()
+    n_records = 0
+    toks = []
+    for r in rows:
+        if r["token"] == "":
+            n_records = r["freq"]
+        else:
+            toks.append(r)
+    if not toks or len(toks) > cap or not n_records:
+        return None
+    ranked = sorted(toks, key=lambda r: (r["freq"], r["token"]))
+    spark = tokens_df.sparkSession
+    idf_exprs = [F.log10(F.lit(float(n_records)) / F.lit(int(r["freq"])))
+                 for r in ranked]
+    idfs = spark.range(1).select(F.array(*idf_exprs).alias("a")).first()["a"]
+    vocab = _InlineVocab([{"token": r["token"], "tid": i, "idf": idfs[i]}
+                          for i, r in enumerate(ranked)])
+    vocab.freqs = {r["token"]: r["freq"] for r in toks}
+    return vocab
+
+
 def _mask_cols(tids: Column, n_words: int) -> list[Column]:
     """Bitmask words over a dense token-id array: word w holds ids
     [64w, 64w+64)."""
@@ -472,13 +516,36 @@ def _sim_value(sim: str, weighted: bool, idf_arr: Column | None = None,
     return F.lit(2.0) * o / (l1 + l2)
 
 
+def _ta_score_cols(n_mask_words: int | None) -> Column:
+    """The 4-sim TA score (jac + cos + dice + overlapCoeff) over the join's
+    verify columns — bitmask overlap when available, array_intersect
+    otherwise. Formula/operand order identical to topk.ta_score, so the
+    doubles are bit-compatible with the TA oracle."""
+    if n_mask_words:
+        od = _mask_overlap("1", "2", n_mask_words).cast("double")
+    else:
+        od = F.size(F.array_intersect(F.col("t1"), F.col("t2"))).cast("double")
+    l1 = F.col("len1").cast("double")
+    l2 = F.col("len2").cast("double")
+    jac = F.when(l1 + l2 - od > 0, od / (l1 + l2 - od)).otherwise(F.lit(0.0))
+    cos = F.when(l1 * l2 > 0, od / F.sqrt(l1 * l2)).otherwise(F.lit(0.0))
+    dice = F.when(l1 + l2 > 0, F.lit(2.0) * od / (l1 + l2)).otherwise(F.lit(0.0))
+    oc = F.when(F.least(l1, l2) > 0, od / F.least(l1, l2)).otherwise(F.lit(0.0))
+    return jac + cos + dice + oc
+
+
 def _fused_verify(joined: DataFrame, sim: str, threshold: float, weighted: bool,
                   sim_col: str, canonicalize: bool,
                   idf_arr: Column | None = None,
                   n_mask_words: int | None = None,
-                  inline: "_InlineVocab | None" = None) -> DataFrame:
+                  inline: "_InlineVocab | None" = None,
+                  ta_col: str | None = None) -> DataFrame:
     """length + positional filters and inline similarity verification —
-    all inside the join's codegen stage; no candidate materialization."""
+    all inside the join's codegen stage; no candidate materialization.
+
+    ``ta_col``: optionally also emit the 4-sim TA score (computed from the
+    same verify columns in the same stage) — the fused top-K path consumes
+    it without re-deriving groups or re-intersecting (guide §2.4)."""
     f = _prefix_factor(sim, threshold)
     if weighted:
         # weighted analogues: weight ratio filter + suffix-weight positional
@@ -496,20 +563,24 @@ def _fused_verify(joined: DataFrame, sim: str, threshold: float, weighted: bool,
     j = j.withColumn(sim_col,
                      _sim_value(sim, weighted, idf_arr, n_mask_words, inline)
                      ).filter(F.col(sim_col) >= threshold)
+    extra = [ta_col] if ta_col else []
+    if ta_col:
+        j = j.withColumn(ta_col, _ta_score_cols(n_mask_words))
     if canonicalize:
         out = j.select(F.least("rid1", "rid2").alias("id1"),
-                       F.greatest("rid1", "rid2").alias("id2"), sim_col)
+                       F.greatest("rid1", "rid2").alias("id2"), sim_col, *extra)
     else:
-        out = j.select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"), sim_col)
+        out = j.select(F.col("rid1").alias("id1"), F.col("rid2").alias("id2"),
+                       sim_col, *extra)
     return out.dropDuplicates(["id1", "id2"])
 
 
-def set_similarity_self_join(
+def _self_join_parts(
     df: DataFrame,
     id_col: str,
     tokens_col: str,
-    sim: str = "jac",
-    threshold: float = 0.8,
+    sim: str,
+    threshold: float,
     weighted: bool = False,
     dictionary: DataFrame | None = None,
     broadcast_dict: bool = True,
@@ -517,29 +588,24 @@ def set_similarity_self_join(
     sim_col: str = "sim",
     group_identical: bool = True,
     max_idf_literal_entries: int | None = None,
-) -> DataFrame:
-    """All pairs (id1 < id2) with sim(tokens) >= threshold. See module doc.
-
-    ``group_identical``: records with IDENTICAL token sets join as ONE
-    set-level row (the reference's group/cluster trick,
-    ``cpp/feature/feature_index.cc`` grouping) — the quadratic join runs
-    over distinct sets only, then pairs expand from the member lists:
-    cross-set pairs inherit the verified set-level sim, intra-set pairs are
-    sim = 1.0 by identity. On web corpora (boilerplate-heavy, duplicate
-    pages) this shrinks the join input massively and makes the final
-    dedup-shuffle unnecessary (set pairs are disjoint by construction)."""
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError("threshold must be in (0, 1]")
+    ta_col: str | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The self join up to (but not including) member expansion: returns
+    (verified, groups) where ``verified`` holds the set-level pairs (record
+    pairs when ``group_identical=False``; ``groups`` is None then) — shared
+    by the public join and the fused top-K path, which consumes set-level
+    scores without ever materializing the expanded pair table."""
     inline = None
     if dictionary is None:
-        if not weighted and max_token_freq is None:
+        if max_token_freq is None:
             # one-job vocabulary probe; falls through to the full
             # dictionary build only when the vocab exceeds the inline cap
-            inline = _inline_vocab_unweighted(
-                df.select(F.col(tokens_col).alias("tokens")))
+            probe = (_inline_vocab_weighted if weighted
+                     else _inline_vocab_unweighted)
+            inline = probe(df.select(F.col(tokens_col).alias("tokens")))
         if inline is None:
             dictionary = build_dictionary(df.select(F.col(tokens_col).alias("tokens")))
-    if weighted:
+    if weighted and dictionary is not None:
         dictionary = persist_tracked(dictionary)
     # literal-vs-map verification path chosen by VOCAB SIZE, not trust in the
     # caller's flag: oversized vocabularies never collect to the driver
@@ -572,6 +638,7 @@ def set_similarity_self_join(
         groups = persist_tracked(groups)
         work = groups
     else:
+        groups = None
         work = enc
     e = _entries(work, "1", sim, threshold, weighted, max_token_freq, dictionary,
                  need_idf_map=need_map, n_mask_words=n_mask)
@@ -599,7 +666,40 @@ def set_similarity_self_join(
     )
     verified = _fused_verify(joined, sim, threshold, weighted, sim_col,
                              canonicalize=True, idf_arr=idf_arr,
-                             n_mask_words=n_mask, inline=inline)
+                             n_mask_words=n_mask, inline=inline, ta_col=ta_col)
+    return verified, groups
+
+
+def set_similarity_self_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    sim: str = "jac",
+    threshold: float = 0.8,
+    weighted: bool = False,
+    dictionary: DataFrame | None = None,
+    broadcast_dict: bool = True,
+    max_token_freq: int | None = None,
+    sim_col: str = "sim",
+    group_identical: bool = True,
+    max_idf_literal_entries: int | None = None,
+) -> DataFrame:
+    """All pairs (id1 < id2) with sim(tokens) >= threshold. See module doc.
+
+    ``group_identical``: records with IDENTICAL token sets join as ONE
+    set-level row (the reference's group/cluster trick,
+    ``cpp/feature/feature_index.cc`` grouping) — the quadratic join runs
+    over distinct sets only, then pairs expand from the member lists:
+    cross-set pairs inherit the verified set-level sim, intra-set pairs are
+    sim = 1.0 by identity. On web corpora (boilerplate-heavy, duplicate
+    pages) this shrinks the join input massively and makes the final
+    dedup-shuffle unnecessary (set pairs are disjoint by construction)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    verified, groups = _self_join_parts(
+        df, id_col, tokens_col, sim, threshold, weighted, dictionary,
+        broadcast_dict, max_token_freq, sim_col, group_identical,
+        max_idf_literal_entries)
     if not group_identical:
         return verified
     # expand set-level pairs back to record pairs; no dedup shuffle needed —
@@ -647,11 +747,13 @@ def set_similarity_rs_join(
         union = df_r.select(F.col(tokens_col).alias("tokens")).unionAll(
             df_s.select(F.col(tokens_col).alias("tokens"))
         )
-        if not weighted and max_token_freq is None:
-            inline = _inline_vocab_unweighted(union)
+        if max_token_freq is None:
+            probe = (_inline_vocab_weighted if weighted
+                     else _inline_vocab_unweighted)
+            inline = probe(union)
         if inline is None:
             dictionary = build_dictionary(union)
-    if weighted:
+    if weighted and dictionary is not None:
         dictionary = persist_tracked(dictionary)
     if inline is None:
         inline = _inline_vocab(dictionary)

@@ -157,6 +157,76 @@ def topk_via_ta(
     )
 
 
+def topk_over_self_join(
+    tokens_df: DataFrame,
+    k: int,
+    sim: str = "jac",
+    threshold: float = 0.8,
+    id_col: str = "rid",
+    tokens_col: str = "tokens",
+    score_col: str = "score",
+) -> DataFrame:
+    """K1 fused with the upstream set-similarity self join — the canonical
+    composition ``topk_via_ta(set_similarity_self_join(toks), toks)`` without
+    ever materializing, persisting, or re-grouping the expanded record-pair
+    table (guide §2.4: the join's expansion plus ``topk_via_ta``'s two
+    membership joins, one distinct shuffle, and full-pair persist all carried
+    the SAME group structure the join already had).
+
+    Output is row-identical to the unfused composition: the join's verified
+    SET-level pairs carry the 4-sim TA score computed in the verify stage
+    (same operand order, bit-compatible doubles); intra-group pairs score
+    exactly 4.0 (all four sims are exactly 1.0 for identical sets — the
+    division/sqrt are exact for these operands). Group-level threshold
+    pruning keeps every group pair at or above the k-th best group score —
+    each group pair contributes >= 1 record pair, so the record-level top-k
+    survives — and only those expand into the final TakeOrderedAndProject."""
+    from .cache import persist_tracked
+    from .set_join import _self_join_parts
+
+    verified, groups = _self_join_parts(
+        tokens_df, id_col, tokens_col, sim, threshold, sim_col="__sim",
+        ta_col=score_col)
+    g = groups.select(F.col("rid").alias("gid"), "members",
+                      F.size("members").alias("sz"))
+    cross_gp = verified.select(F.col("id1").alias("g1"), F.col("id2").alias("g2"),
+                               F.col(score_col))
+    intra_gp = (
+        g.filter(F.col("sz") >= 2)
+        .select(F.col("gid").alias("g1"), F.col("gid").alias("g2"),
+                F.lit(4.0).alias(score_col))
+    )
+    gp = persist_tracked(cross_gp.unionByName(intra_gp))
+    if k <= 100_000:
+        top = gp.orderBy(F.desc(score_col), F.asc("g1"),
+                         F.asc("g2")).limit(k).select(score_col).collect()
+        if len(top) == k:
+            gp = gp.filter(F.col(score_col) >= top[-1][score_col])
+    m1 = g.select(F.col("gid").alias("g1"), F.col("members").alias("m1"))
+    m2 = g.select(F.col("gid").alias("g2"), F.col("members").alias("m2"))
+    cross = (
+        gp.filter(F.col("g1") != F.col("g2"))
+        .join(m1, "g1").join(m2, "g2")
+        .withColumn("a", F.explode("m1"))
+        .withColumn("b", F.explode("m2"))
+        .select(F.least("a", "b").alias("id1"), F.greatest("a", "b").alias("id2"),
+                score_col)
+    )
+    intra = (
+        gp.filter(F.col("g1") == F.col("g2"))
+        .join(m1, "g1")
+        .select(F.explode("m1").alias("a"), "m1", score_col)
+        .select("a", F.explode("m1").alias("b"), score_col)
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("id1"), F.col("b").alias("id2"), score_col)
+    )
+    return (
+        cross.unionByName(intra)
+        .orderBy(F.desc(score_col), F.asc("id1"), F.asc("id2"))
+        .limit(k)
+    )
+
+
 def topk_by_weighted_score(
     scored_pairs: DataFrame,
     k: int,

@@ -64,13 +64,14 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin",
                 "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1" else "false")
         # Arrow for pandas UDF exchange (feature scoring, join verification).
-        # 20k-row batches: the scorer UDFs (JW/ME, minhash, band signatures)
-        # are numpy-vectorized and amortize per-batch overhead; rows on these
-        # paths are narrow (short strings / id lists), so batch memory stays
-        # small. SPARK_GRAFT_ARROW_BATCH overrides for wide-row deployments.
+        # 10k-row batches: A/B-measured against 20k on the numpy scorer UDFs
+        # (JW/ME bulk, minhash) — 10k was equal or faster on every rep (the
+        # padded per-batch string matrices stay L2-resident), so the default
+        # stays at Spark's own. SPARK_GRAFT_ARROW_BATCH overrides for
+        # wide-row deployments.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"))
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.sql.session.timeZone", "UTC")
         # single-JVM local mode: the "driver" heap is also every executor's
         # heap — 8g GC-thrashes 32-thread shuffles at bench scale; capped by
