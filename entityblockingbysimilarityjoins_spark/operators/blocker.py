@@ -70,10 +70,14 @@ def _run_rule_self(df: DataFrame, id_col: str, rule: Rule, cache: _TokenCache,
                    weighted: bool) -> DataFrame:
     if rule.sim in ("jac", "cos", "dice"):
         toks = cache.tokens(df, id_col, rule)
-        d = cache.dictionary(toks, rule)
+        # dictionary=None: the join's one-job vocabulary probe handles tiny
+        # vocabularies inline (weighted included) and only falls back to the
+        # full distributed dictionary build beyond the bitset cap — the
+        # prebuilt cache dictionary forced that pipeline on every rule
+        # (guide §2.4; the cache still serves the overlap rules)
         return set_similarity_self_join(
             toks, id_col, "tokens", sim=rule.sim, threshold=rule.threshold,
-            weighted=weighted, dictionary=d,
+            weighted=weighted,
         ).select("id1", "id2")
     if rule.sim == "overlap":
         toks = cache.tokens(df, id_col, rule)
@@ -99,14 +103,15 @@ def _run_rule_rs(df_r: DataFrame, df_s: DataFrame, id_col: str, rule: Rule,
     if rule.sim in ("jac", "cos", "dice", "overlap"):
         tr = cache_r.tokens(df_r, id_col, rule)
         ts = cache_s.tokens(df_s, id_col, rule)
-        union = tr.select("tokens").unionAll(ts.select("tokens"))
-        d = cache_r.dictionary(union, rule)
         if rule.sim == "overlap":
+            union = tr.select("tokens").unionAll(ts.select("tokens"))
+            d = cache_r.dictionary(union, rule)
             return overlap_rs_join(tr, ts, id_col, "tokens",
                                    c=max(int(rule.threshold), 1), dictionary=d).select("id1", "id2")
+        # dictionary=None: one-job probe over R ∪ S (see _run_rule_self)
         return set_similarity_rs_join(
             tr, ts, id_col, "tokens", sim=rule.sim, threshold=rule.threshold,
-            weighted=weighted, dictionary=d,
+            weighted=weighted,
         ).select("id1", "id2")
     if rule.sim == "lev":
         return edit_distance_rs_join(df_r, df_s, id_col, rule.attr,

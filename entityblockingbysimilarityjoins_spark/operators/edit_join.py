@@ -91,13 +91,20 @@ def edit_distance_self_join(
         F.expr("substring(s_i, seg.start, seg.seglen)").alias("piece"),
     )
 
-    # ---- probe side: for each partner length l in [m-d, m+d], each segment
+    # ---- probe side: for each partner length l in [m-d, m], each segment
     # (pid, p, sl) of scheme(l), the substrings of q with that seglen whose
     # start lies in PassJoin's multi-match window (stringjoin.cc:96-103):
     # qstart - p in [max(-pid, delta - (d - pid)), min(pid, delta + (d - pid))]
     # with delta = m - l — the tight pigeonhole bound, a strict subset of the
-    # naive +-d window (noticeably fewer probe rows and join candidates) ----
-    probe = _probe_pieces(slim, d)
+    # naive +-d window (noticeably fewer probe rows and join candidates).
+    # ONE-DIRECTIONAL for the self join: the pigeonhole guarantees every
+    # qualifying pair in each direction separately, so the longer string
+    # probes the shorter's scheme (l <= m) and equal lengths tie-break on
+    # rid — each unordered pair generates candidates once, not twice, which
+    # halves the dominant verify stage (guide §1.2 "the distributed
+    # algorithm"); the RS join keeps the full ±d window (direction is fixed
+    # by which side is indexed).
+    probe = _probe_pieces(slim, d, one_directional=True)
 
     # fused verify: the equi-join carries both strings, the banded
     # levenshtein(threshold) runs in the SAME codegen stage, and only the
@@ -106,7 +113,7 @@ def edit_distance_self_join(
     # and re-attached both strings with two more joins (guide §2.4; the
     # bounded-DP verify is far cheaper than shuffling candidates)
     joined = probe.join(idx, ["l", "pid", "piece"]).filter(
-        F.col("rid_p") != F.col("rid_i"))
+        (F.col("l") < F.length("q")) | (F.col("rid_p") < F.col("rid_i")))
     out = (
         joined.withColumn(dist_col, F.levenshtein("q", "s_i", d))
         .filter(F.col(dist_col) >= 0)  # levenshtein(.., threshold) -> -1 when > d
@@ -117,14 +124,16 @@ def edit_distance_self_join(
     return out
 
 
-def _probe_pieces(slim: DataFrame, d: int) -> DataFrame:
+def _probe_pieces(slim: DataFrame, d: int, one_directional: bool = False) -> DataFrame:
     """(rid_p, q, l, pid, piece) probe substrings with the tight PassJoin
-    multi-match window. ``slim`` must carry (rid, s)."""
+    multi-match window. ``slim`` must carry (rid, s). ``one_directional``
+    probes only partner lengths l <= m (self joins; see caller)."""
     probe = slim.select(
         F.col("rid").alias("rid_p"),
         F.col("s").alias("q"),
         F.length("s").alias("m"),
-        F.explode(F.sequence(F.length("s") - d, F.length("s") + d)).alias("l"),
+        F.explode(F.sequence(F.length("s") - d,
+                             F.length("s") + (0 if one_directional else d))).alias("l"),
     ).filter(F.col("l") >= 1)
     probe = probe.select(
         "rid_p", "q", "m", "l",

@@ -207,18 +207,46 @@ def extract_features_ic(
     r = rec.select(F.col(id_col).alias("id2"), *[F.col(c).alias(f"r_{c}") for c in side_cols])
     payload = pairs.join(l, "id1").join(r, "id2")
 
+    # shared cross-product triples: ONE array_intersect per (attr, tok) member
+    # cross product, from which every sim of that tokenization derives — the
+    # same move matcher.features makes for the flat matrix (guide §7.2
+    # duplicated subtrees; e.g. the 4 dlm sims cost 1 intersect, not 4). A
+    # stacked projection keeps the triple arrays from being inlined per
+    # feature (CollapseProject stops at expensive multiply-referenced
+    # expressions, SPARK-36718). The triple column carries the per-feature
+    # branches' LAZINESS with it: same-group pairs (identical raw values for
+    # ungrouped attrs — abundant on duplicate-heavy corpora) short-circuit to
+    # NULL inside the CaseWhen, so the intersect is skipped for exactly the
+    # rows the per-feature `when(same_grp, ...)` used to skip it for.
+    from ..matcher.features import _sim_from_counts
+
+    mid_cols = [F.col(c) for c in payload.columns]
+    for attr, tok, settings in tok_keys:
+        mt = f"__mtok_{attr}_{tok}_{settings}"
+        lm, rm = F.col(f"l_{mt}"), F.col(f"r_{mt}")
+        triples = F.flatten(F.transform(lm, lambda a: F.transform(
+            rm, lambda b: F.struct(
+                F.size(F.array_intersect(a, b)).cast("double").alias("o"),
+                F.size(a).alias("la"),
+                F.size(b).alias("lb")))))
+        same_grp = F.col(f"l___rep_{attr}") == F.col(f"r___rep_{attr}")
+        mid_cols.append(
+            F.when(same_grp, F.lit(None)).otherwise(triples).alias(f"__xt_{mt}"))
+    mid = payload.select(*mid_cols)
+
     cols = [F.col("id1"), F.col("id2")]
     for feat in features:
         lval, rval = F.col(f"l_{feat.attr}"), F.col(f"r_{feat.attr}")
         same_grp = F.col(f"l___rep_{feat.attr}") == F.col(f"r___rep_{feat.attr}")
         if feat.tok:
             mt = f"__mtok_{feat.attr}_{feat.tok}_{feat.tok_settings}"
-            lm, rm = F.col(f"l_{mt}"), F.col(f"r_{mt}")
-            simfn = S.SET_SIMS[feat.sim]
+            xt = F.col(f"__xt_{mt}")
             cross = F.array_max(
-                F.flatten(F.transform(lm, lambda a: F.transform(rm, lambda b: simfn(a, b))))
+                F.transform(xt, lambda t: _sim_from_counts(
+                    feat.sim, t["o"], t["la"], t["lb"]))
             )
             if feat.sim == "overlap":
+                lm = F.col(f"l_{mt}")
                 same_val = F.array_max(F.transform(lm, lambda a: F.size(a))).cast("double")
             else:
                 same_val = F.lit(1.0)
@@ -248,7 +276,7 @@ def extract_features_ic(
             .otherwise(val)
             .alias(feat.name)
         )
-    return payload.select(*cols)
+    return mid.select(*cols)
 
 
 def rematch_negatives(
