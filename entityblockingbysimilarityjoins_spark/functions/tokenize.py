@@ -90,6 +90,38 @@ def tokens_qgram(col: Column | str, q: int = 3) -> Column:
     return F.coalesce(F.array_sort(F.array_distinct(grams)), F.array().cast("array<string>"))
 
 
+def tokens_qgram_encoded(col: Column | str, q: int = 3) -> Column:
+    """T2 for count-only consumers: the SAME q-gram set as ``tokens_qgram``,
+    each gram packed into a long (grams are fully-alphanumeric ASCII, so
+    byte-packing is injective — set cardinalities and intersection sizes are
+    identical to the string form). Int arrays keep ``array_intersect`` on
+    its specialized atomic-type fast path: no per-gram string hashing per
+    candidate pair (guide §2.3 "narrower types"; the feature matrix only
+    ever consumes (o, |a|, |b|) counts, never the gram bytes)."""
+    if q < 1 or q > 7:
+        raise ValueError("encoded q-grams support 1 <= q <= 7")
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_extract_all(c, F.lit("[a-zA-Z0-9]+"), 0)
+
+    def enc(r: Column, i: Column) -> Column:
+        v = None
+        for j in range(q):
+            byte = F.ascii(r.substr(i + F.lit(j), F.lit(1))).cast("long")
+            v = byte if v is None else v * F.lit(256) + byte
+        return v
+
+    grams = F.flatten(F.transform(
+        runs,
+        lambda r: F.when(
+            F.length(r) >= q,
+            F.transform(F.sequence(F.lit(1), F.length(r) - F.lit(q - 1)),
+                        lambda i: enc(r, i)),
+        ).otherwise(F.array().cast("array<long>")),
+    ))
+    return F.coalesce(F.array_sort(F.array_distinct(grams)),
+                      F.array().cast("array<long>"))
+
+
 def normalize_string(col: Column | str, strategy: int = 0) -> Column:
     """T5/S8: optional normalization; lowercase + strategy-specific stripping.
 

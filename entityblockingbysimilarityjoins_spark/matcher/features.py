@@ -196,8 +196,16 @@ def extract_features(
     tok_feats = {_tok_col(f): f for f in features if f.tok}
     rec = records.select(id_col, *attrs)
     for cname, feat in tok_feats.items():
-        fn = tokenizer(feat.tok, feat.tok_settings)
-        rec = rec.withColumn(cname, fn(F.col(feat.attr)))
+        if feat.tok == "qgm":
+            # the matrix only consumes (o, |a|, |b|) counts — long-packed
+            # grams intersect on the atomic-type fast path, identical sizes
+            from ..functions.tokenize import tokens_qgram_encoded
+
+            rec = rec.withColumn(cname, tokens_qgram_encoded(
+                F.col(feat.attr), int(feat.tok_settings or 3)))
+        else:
+            fn = tokenizer(feat.tok, feat.tok_settings)
+            rec = rec.withColumn(cname, fn(F.col(feat.attr)))
     rec = rec.transform(persist_tracked)
 
     side_cols = attrs + list(tok_feats)

@@ -195,7 +195,15 @@ def extract_features_ic(
         )
     tok_keys = sorted({(f.attr, f.tok, str(f.tok_settings)) for f in features if f.tok})
     for attr, tok, settings in tok_keys:
-        fn = tokenizer(tok, None if settings == "None" else settings)
+        if tok == "qgm":
+            # count-only consumer: long-packed grams, same set sizes
+            # (matcher.features does the same — see tokens_qgram_encoded)
+            from ..functions.tokenize import tokens_qgram_encoded
+
+            s = None if settings == "None" else settings
+            fn = lambda e, q=int(s or 3): tokens_qgram_encoded(e, q)  # noqa: E731
+        else:
+            fn = tokenizer(tok, None if settings == "None" else settings)
         rec = rec.withColumn(
             f"__mtok_{attr}_{tok}_{settings}",
             F.transform(f"__mem_{attr}", lambda e: fn(e)),
