@@ -208,9 +208,11 @@ class SeededFastText(SeededWord2Vec):
 
 def _value_vectors(model_cls, values_df: DataFrame, value_col: str,
                    seed: int, **kw) -> DataFrame:
+    # valve-guarded collect — see doc2vec._collect_value_vocab (guide §5)
+    from .doc2vec import _collect_value_vocab
+
     spark = values_df.sparkSession
-    values = [r[0] for r in
-              values_df.select(value_col).distinct().orderBy(value_col).collect()]
+    values = [r[0] for r in _collect_value_vocab(values_df, value_col)]
     model = model_cls(seed=seed, **kw).fit([simple_tokens(v) for v in values])
     rows = [(v, model.value_vector(v).tolist()) for v in values]
     return spark.createDataFrame(rows, f"{value_col} string, vec array<double>")

@@ -235,3 +235,27 @@ def test_fasttext_oov_subword_composition():
     ft2 = SeededFastText(epochs=40, seed=3).fit(docs)
     assert np.array_equal(ft.word_vector("ultrabok"),
                           ft2.word_vector("ultrabok"))
+
+
+def test_value_vocab_valve_refuses_oversized(spark, monkeypatch):
+    """The driver-side embedding trainers probe-then-refuse vocabularies
+    beyond MAX_VALUE_VOCAB instead of collecting them (guide §5)."""
+    import pytest
+
+    from entityblockingbysimilarityjoins_spark.value_matcher import doc2vec as d2v
+    from entityblockingbysimilarityjoins_spark.value_matcher.doc2vec import (
+        doc2vec_value_vectors,
+    )
+    from entityblockingbysimilarityjoins_spark.value_matcher.word2vec import (
+        word2vec_value_vectors,
+    )
+
+    values = spark.createDataFrame([(f"v{i}",) for i in range(12)], "value string")
+    monkeypatch.setattr(d2v, "MAX_VALUE_VOCAB", 10)
+    with pytest.raises(ValueError, match="MAX_VALUE_VOCAB"):
+        doc2vec_value_vectors(values, "value", epochs=1)
+    with pytest.raises(ValueError, match="MAX_VALUE_VOCAB"):
+        word2vec_value_vectors(values, "value", epochs=1)
+    # under the cap both still train
+    small = spark.createDataFrame([(f"v{i}",) for i in range(5)], "value string")
+    assert doc2vec_value_vectors(small, "value", epochs=1).count() == 5
