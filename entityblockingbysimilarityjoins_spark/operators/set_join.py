@@ -108,6 +108,13 @@ def _min_weighted_overlap(sim: str, t: float, w1: Column, w2: Column) -> Column:
 #: vocab to the driver (r2 VERDICT "weak" item)
 MAX_IDF_LITERAL_ENTRIES = 1 << 18
 
+#: all-pairs valve: the distinct-set square is swept directly (broadcast
+#: inequality join + bitmask verify, no prefix explode) only when the HLL
+#: set-count estimate is at or under this — 8192²/2 ≈ 34M O(words)
+#: comparisons, sub-second on a few cores; anything larger keeps the
+#: prefix-filter join (the path that scales)
+MAX_ALLPAIRS_SETS = 8192
+
 #: bitset verification (guide §2.3 "narrower types"): when the probed
 #: vocabulary fits this many 64-bit words, each record's token-id set is
 #: additionally encoded as fixed-width bitmask columns and the per-candidate
@@ -154,6 +161,7 @@ class _InlineVocab:
         self.n_words = max(1, -(-self.n // 64))
         self.tid_by_token = {r["token"]: int(r["tid"]) for r in rows}
         self.freqs: dict | None = None  # set by the one-job unweighted probe
+        self.n_sets_approx: int | None = None  # ditto (HLL distinct-set count)
 
     def wo_lut(self, w: int, j: int) -> list[float]:
         """256-entry lookup table: byte j of mask word w -> sum of the IDFs
@@ -209,13 +217,28 @@ def _inline_vocab_unweighted(tokens_df: DataFrame) -> _InlineVocab | None:
         tokens_df.select(F.explode("tokens").alias("token"))
         .groupBy("token").agg(F.count("*").alias("freq"))
     )
-    rows = freqs.limit(cap + 1).collect()
-    if not rows or len(rows) > cap:
+    # piggyback an approximate distinct-SET count on the same probe job (one
+    # extra aggregation branch, one action): it gates the all-pairs bitmask
+    # sweep below without a second job. The sentinel row carries token=NULL,
+    # which no tokenizer emits.
+    nsets = tokens_df.agg(
+        F.approx_count_distinct("tokens").alias("freq")).select(
+        F.lit(None).cast(freqs.schema["token"].dataType).alias("token"), "freq")
+    rows = freqs.unionByName(nsets).limit(cap + 3).collect()
+    n_sets_approx = None
+    toks = []
+    for r in rows:
+        if r["token"] is None:
+            n_sets_approx = r["freq"]
+        else:
+            toks.append(r)
+    if not toks or len(toks) > cap:
         return None
-    ranked = sorted(rows, key=lambda r: (r["freq"], r["token"]))
+    ranked = sorted(toks, key=lambda r: (r["freq"], r["token"]))
     vocab = _InlineVocab([{"token": r["token"], "tid": i, "idf": 0.0}
                           for i, r in enumerate(ranked)])
-    vocab.freqs = {r["token"]: r["freq"] for r in rows}
+    vocab.freqs = {r["token"]: r["freq"] for r in toks}
+    vocab.n_sets_approx = n_sets_approx
     return vocab
 
 
@@ -640,6 +663,42 @@ def _self_join_parts(
     else:
         groups = None
         work = enc
+    # All-pairs bitmask sweep for tiny-vocabulary, few-distinct-set corpora
+    # (valve-gated, guide §1.2 "the distributed algorithm"): when the probed
+    # vocabulary inlines AND the HLL distinct-set estimate says the full
+    # set-pair square is small, the prefix filter cannot prune — hot tokens
+    # appear in most prefixes, so the explode+equi-join emits ~as many
+    # candidates as the square holds while paying an exploded shuffle for
+    # them. A broadcast inequality join over the distinct-set table with the
+    # SAME fused length filter + bitmask verify emits each set pair exactly
+    # once with zero exchanges of entry rows (measured 0.9s vs 1.2-3.2s on
+    # the sf0.1 corpus, identical output). Real vocabularies (> 256 tokens)
+    # or set counts beyond the cap take the prefix path unchanged.
+    if (groups is not None and not weighted and inline is not None
+            and inline.n_sets_approx is not None
+            and inline.n_sets_approx <= MAX_ALLPAIRS_SETS):
+        f = _prefix_factor(sim, threshold)
+        a_side = groups.select(
+            F.col("rid").alias("rid1"), F.col("len").alias("len1"),
+            *[F.col(f"__bm{w}").alias(f"__bm{w}1") for w in range(n_mask)])
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a_side = a_side.repartition(2 * par)
+        b_side = groups.select(
+            F.col("rid").alias("rid2"), F.col("len").alias("len2"),
+            *[F.col(f"__bm{w}").alias(f"__bm{w}2") for w in range(n_mask)])
+        j = a_side.join(F.broadcast(b_side), F.col("rid1") < F.col("rid2"))
+        lo, hi = F.least("len1", "len2"), F.greatest("len1", "len2")
+        j = j.filter(lo >= F.ceil(F.lit(f) * hi - F.lit(_EPS)))
+        j = j.withColumn(sim_col, _sim_value(sim, False, None, n_mask, inline)
+                         ).filter(F.col(sim_col) >= threshold)
+        if ta_col:
+            j = j.withColumn(ta_col, _ta_score_cols(n_mask))
+        extra = [ta_col] if ta_col else []
+        # rid1 < rid2 already — no canonicalization or dedup needed (each
+        # unordered set pair is generated exactly once)
+        verified = j.select(F.col("rid1").alias("id1"),
+                            F.col("rid2").alias("id2"), sim_col, *extra)
+        return verified, groups
     e = _entries(work, "1", sim, threshold, weighted, max_token_freq, dictionary,
                  need_idf_map=need_map, n_mask_words=n_mask)
     # fan-out repartition: the probe-entry table is small relative to the

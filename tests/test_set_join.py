@@ -190,3 +190,26 @@ def test_weighted_jaccard_skewed_idf(spark):
         got = {(r["id1"], r["id2"]) for r in
                set_similarity_self_join(df, "rid", "tokens", "jac", t, weighted=True).collect()}
         assert got == want, f"threshold {t}"
+
+
+def test_allpairs_valve_matches_prefix_path(spark, monkeypatch):
+    """The tiny-vocab all-pairs bitmask sweep produces exactly the prefix
+    path's rows, and oversized set counts keep the prefix path."""
+    import entityblockingbysimilarityjoins_spark.operators.set_join as SJ
+
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [(i, " ".join(random.sample(vocab, random.randint(3, 10))))
+            for i in range(300)]
+    # a few exact duplicates so group expansion is exercised
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["rid", "s"]).withColumn(
+        "tokens", tokens_dlm("s"))
+    for sim, t in (("jac", 0.6), ("cos", 0.7), ("dice", 0.7)):
+        fast = sorted(map(tuple, set_similarity_self_join(
+            df, "rid", "tokens", sim, t).collect()))
+        monkeypatch.setattr(SJ, "MAX_ALLPAIRS_SETS", 0)  # force prefix path
+        slow = sorted(map(tuple, set_similarity_self_join(
+            df, "rid", "tokens", sim, t).collect()))
+        monkeypatch.undo()
+        assert fast == slow and fast, (sim, t)
