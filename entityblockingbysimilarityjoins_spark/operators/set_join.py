@@ -265,12 +265,21 @@ def _inline_vocab_weighted(tokens_df: DataFrame) -> _InlineVocab | None:
                                F.lit(""))).alias("token"))
         .groupBy("token").agg(F.count("*").alias("freq"))
     )
-    rows = freqs.limit(cap + 2).collect()
+    # piggyback the approximate distinct-SET count (all-pairs sweep gate) on
+    # the same probe job, exactly as the unweighted probe does; the sentinel
+    # row carries token=NULL, which the explode above can never emit.
+    nsets = tokens_df.agg(
+        F.approx_count_distinct("tokens").alias("freq")).select(
+        F.lit(None).cast(freqs.schema["token"].dataType).alias("token"), "freq")
+    rows = freqs.unionByName(nsets).limit(cap + 4).collect()
     n_records = 0
+    n_sets_approx = None
     toks = []
     for r in rows:
         if r["token"] == "":
             n_records = r["freq"]
+        elif r["token"] is None:
+            n_sets_approx = r["freq"]
         else:
             toks.append(r)
     if not toks or len(toks) > cap or not n_records:
@@ -283,6 +292,7 @@ def _inline_vocab_weighted(tokens_df: DataFrame) -> _InlineVocab | None:
     vocab = _InlineVocab([{"token": r["token"], "tid": i, "idf": idfs[i]}
                           for i, r in enumerate(ranked)])
     vocab.freqs = {r["token"]: r["freq"] for r in toks}
+    vocab.n_sets_approx = n_sets_approx
     return vocab
 
 
@@ -343,8 +353,14 @@ def _prepare(
     need_idf_map: bool = False,
     n_mask_words: int | None = None,
     inline: _InlineVocab | None = None,
+    need_suffixs: bool = True,
 ) -> DataFrame:
     """(rid, tids, len[, wt, tw, suffixs]) with empties dropped (DROP_EMPTY).
+
+    ``need_suffixs=False`` skips the reverse prefix-sum scan (and keeps the
+    arrays out of every downstream exchange) when the caller knows no
+    weight-based prefix test will run — the all-pairs sweep verifies every
+    pair directly from the masks.
 
     Ordering/tie-breaks ride directly on ``rid`` — a deterministic key, so a
     lost-and-recomputed cache partition can never re-key records (the
@@ -398,6 +414,8 @@ def _prepare(
     if weighted:
         if need_idf_map:
             enc = enc.withColumn("idf_map", F.map_from_arrays("tids", "idfs"))
+        if not need_suffixs:
+            return persist_tracked(enc.drop("idfs"))
         enc = enc.withColumn(
             "suffixs",
             F.reverse(
@@ -641,10 +659,19 @@ def _self_join_parts(
                                max_idf_literal_entries)
     need_map = weighted and idf_arr is None
     n_mask = inline.n_words if inline is not None else None
+    # the sweep decision is known before any record work: skip the weighted
+    # suffix-scan (and its array payload in the groups exchange) when the
+    # masks will verify every pair directly
+    use_sweep = (group_identical and inline is not None
+                 and (not weighted or ta_col is None)  # TA score needs len cols
+                 and inline.n_sets_approx is not None
+                 and inline.n_sets_approx <= MAX_ALLPAIRS_SETS)
     enc = _prepare(df, id_col, tokens_col, dictionary, weighted, broadcast_dict,
-                   need_idf_map=need_map, n_mask_words=n_mask, inline=inline)
+                   need_idf_map=need_map, n_mask_words=n_mask, inline=inline,
+                   need_suffixs=not use_sweep)
     if group_identical:
-        keep = ["len"] + (["wt", "suffixs"] if weighted else [])
+        keep = ["len"] + (["wt"] + (["suffixs"] if not use_sweep else [])
+                          if weighted else [])
         keep += [f"__bm{w}" for w in range(n_mask or 0)]
         if need_map:
             keep.append("idf_map")
@@ -674,22 +701,30 @@ def _self_join_parts(
     # once with zero exchanges of entry rows (measured 0.9s vs 1.2-3.2s on
     # the sf0.1 corpus, identical output). Real vocabularies (> 256 tokens)
     # or set counts beyond the cap take the prefix path unchanged.
-    if (groups is not None and not weighted and inline is not None
-            and inline.n_sets_approx is not None
-            and inline.n_sets_approx <= MAX_ALLPAIRS_SETS):
+    if use_sweep:
         f = _prefix_factor(sim, threshold)
+        size1, size2 = ("w1", "w2") if weighted else ("len1", "len2")
+        size_src = "wt" if weighted else "len"
         a_side = groups.select(
-            F.col("rid").alias("rid1"), F.col("len").alias("len1"),
+            F.col("rid").alias("rid1"), F.col(size_src).alias(size1),
             *[F.col(f"__bm{w}").alias(f"__bm{w}1") for w in range(n_mask)])
         par = df.sparkSession.sparkContext.defaultParallelism
         a_side = a_side.repartition(2 * par)
         b_side = groups.select(
-            F.col("rid").alias("rid2"), F.col("len").alias("len2"),
+            F.col("rid").alias("rid2"), F.col(size_src).alias(size2),
             *[F.col(f"__bm{w}").alias(f"__bm{w}2") for w in range(n_mask)])
         j = a_side.join(F.broadcast(b_side), F.col("rid1") < F.col("rid2"))
-        lo, hi = F.least("len1", "len2"), F.greatest("len1", "len2")
-        j = j.filter(lo >= F.ceil(F.lit(f) * hi - F.lit(_EPS)))
-        j = j.withColumn(sim_col, _sim_value(sim, False, None, n_mask, inline)
+        lo, hi = F.least(size1, size2), F.greatest(size1, size2)
+        if weighted:
+            # weighted analogue of the length filter (same predicate the
+            # prefix path's _fused_verify applies); the suffix-weight upper
+            # bound is only a candidate pruner there — every pair is fully
+            # verified by the byte-LUT sim below, so dropping it cannot
+            # change the output
+            j = j.filter(lo >= F.lit(f) * hi - F.lit(_EPS))
+        else:
+            j = j.filter(lo >= F.ceil(F.lit(f) * hi - F.lit(_EPS)))
+        j = j.withColumn(sim_col, _sim_value(sim, weighted, None, n_mask, inline)
                          ).filter(F.col(sim_col) >= threshold)
         if ta_col:
             j = j.withColumn(ta_col, _ta_score_cols(n_mask))

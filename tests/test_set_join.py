@@ -213,3 +213,13 @@ def test_allpairs_valve_matches_prefix_path(spark, monkeypatch):
             df, "rid", "tokens", sim, t).collect()))
         monkeypatch.undo()
         assert fast == slow and fast, (sim, t)
+    # weighted joins ride the sweep too (same byte-LUT verify expression on
+    # both paths -> bit-identical sims, compared exactly)
+    for sim, t in (("jac", 0.5), ("cos", 0.6)):
+        fast = sorted(map(tuple, set_similarity_self_join(
+            df, "rid", "tokens", sim, t, weighted=True).collect()))
+        monkeypatch.setattr(SJ, "MAX_ALLPAIRS_SETS", 0)  # force prefix path
+        slow = sorted(map(tuple, set_similarity_self_join(
+            df, "rid", "tokens", sim, t, weighted=True).collect()))
+        monkeypatch.undo()
+        assert fast == slow and fast, ("weighted", sim, t)
