@@ -298,22 +298,44 @@ def rematch_negatives(
 ) -> DataFrame:
     """V7: re-score the matcher's negatives with IC-max features
     (cal_feature semantics); returns the full match set (original positives
-    ∪ recovered negatives)."""
+    ∪ recovered negatives).
+
+    Only the features of attributes that HAVE an IC grouping are
+    re-extracted; the rest are reused verbatim from the first-pass matrix
+    (``predicted`` must carry its feature columns). For an ungrouped
+    attribute the IC matrix degenerates to singleton member lists, whose
+    values the forest cannot tell apart from the flat ones: cross products
+    are the 1x1 raw pair (identical expressions), identical values hit the
+    same-group branch whose constants equal the flat sims exactly, and the
+    one residual cell difference (flat NULL vs IC 0.0 on empty token sets)
+    vanishes under the matcher's NaN->0.0 imputation. This is also the
+    frozen oracle's own structure — its pass 2 swaps only the grouped
+    attribute's IC features into the pass-1 matrix."""
     from ..matcher.random_forest import apply_matcher
 
+    grouped = set(groups_per_attr)
+    ic_feats = [f for f in features if f.attr in grouped]
+    flat_feats = [f for f in features if f.attr not in grouped]
     # both passes read the first-pass predictions (negatives here, positives
-    # in the final union) — persist the slim (id1, id2, match) projection so
-    # the feature matrix + forest run once, not once per branch
-    predicted = persist_tracked(predicted.select("id1", "id2", "match"))
-    negatives = predicted.filter(~F.col("match")).select("id1", "id2")
+    # in the final union) — persist the slim projection (pair, decision, and
+    # the reused feature columns) so the feature matrix + forest run once
+    predicted = persist_tracked(predicted.select(
+        "id1", "id2", "match", *[f.name for f in flat_feats]))
+    negatives = predicted.filter(~F.col("match")).drop("match")
+    if ic_feats:
+        neg_ic = extract_features_ic(
+            negatives.select("id1", "id2"), records, id_col, ic_feats,
+            groups_per_attr)
+        neg_feats = negatives.join(neg_ic, ["id1", "id2"]).select(
+            "id1", "id2", *[f.name for f in features])
+    else:
+        neg_feats = negatives.select("id1", "id2", *[f.name for f in features])
     # localCheckpoint: the IC-max columns are deeply nested HOF expressions;
     # feeding them straight into the Arrow-UDF scorer trips Catalyst's
     # subexpression-elimination proxies ("Cannot evaluate expression"), and
     # cutting the plan here also stops the matcher re-deriving the whole
     # feature stage per downstream action
-    neg_feats = extract_features_ic(
-        negatives, records, id_col, features, groups_per_attr
-    ).localCheckpoint()
+    neg_feats = neg_feats.localCheckpoint()
     rescored = apply_matcher(neg_feats, model, threshold=threshold)
     recovered = rescored.filter(F.col("match")).select("id1", "id2")
     return predicted.filter(F.col("match")).select("id1", "id2").unionByName(recovered)
