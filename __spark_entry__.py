@@ -227,10 +227,20 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = set_similarity_self_join(
-        _doc_tokens(spark, sf_dir), "rid", "tokens", "jac", 0.9
-    ).select("id1", "id2")
-    return connected_components(pairs)
+    # identical rows to connected_components over the expanded jac>=0.9 join:
+    # CC runs on the set-level graph and members inherit their group's label
+    # (connected_components_over_groups docstring has the equivalence proof)
+    from entityblockingbysimilarityjoins_spark.operators.connected_components import (
+        connected_components_over_groups,
+    )
+    from entityblockingbysimilarityjoins_spark.operators.set_join import (
+        _self_join_parts,
+    )
+
+    verified, groups = _self_join_parts(
+        _doc_tokens(spark, sf_dir), "rid", "tokens", "jac", 0.9)
+    return connected_components_over_groups(
+        verified.select("id1", "id2"), groups)
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,3 +159,32 @@ def cluster_pairs(matches: DataFrame, src: str = "id1", dst: str = "id2") -> Dat
     """Entity clusters from matched pairs (V8 cluster_pairs contract):
     every record in a cluster with cluster id = min record id."""
     return connected_components(matches, src, dst)
+
+
+def connected_components_over_groups(
+    set_pairs: DataFrame, groups: DataFrame
+) -> DataFrame:
+    """(node, component) for the record graph a group-identical set join
+    implies — computed on the SET-level graph, never expanding record pairs.
+
+    The expanded graph is intra-group cliques plus complete-bipartite edges
+    per verified set pair, so its components are exactly the set-graph's
+    components with members substituted in, and every component minimum is a
+    group representative (each rep is its group's min member). CC therefore
+    runs over the set pairs (orders of magnitude fewer edges than the record
+    expansion the old composition collected), multi-member groups that
+    touched no set pair become their own components, and members inherit
+    their group's label through one small join + explode (guide §8: decide
+    with small rows, move the heavy expansion never)."""
+    comp_sets = connected_components(set_pairs)
+    multi = groups.filter(F.size("members") >= 2).select(F.col("rid").alias("node"))
+    iso = (
+        multi.join(comp_sets.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    comp_all = comp_sets.unionByName(iso)
+    g = groups.select(F.col("rid").alias("node"), "members")
+    return (
+        comp_all.join(g, "node")
+        .select(F.explode("members").alias("node"), "component")
+    )

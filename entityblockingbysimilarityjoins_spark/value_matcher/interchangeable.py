@@ -318,10 +318,22 @@ def rematch_negatives(
     flat_feats = [f for f in features if f.attr not in grouped]
     # both passes read the first-pass predictions (negatives here, positives
     # in the final union) — persist the slim projection (pair, decision, and
-    # the reused feature columns) so the feature matrix + forest run once
+    # the reused feature columns) so the feature matrix + forest run once.
+    # Callers that dropped the feature columns (e.g. a checkpointed slim
+    # match_res stage) get the missing flat features recomputed for the
+    # negatives — still the flat matrix, never the IC expansion.
+    have = set(predicted.columns)
+    carried = [f for f in flat_feats if f.name in have]
+    missing = [f for f in flat_feats if f.name not in have]
     predicted = persist_tracked(predicted.select(
-        "id1", "id2", "match", *[f.name for f in flat_feats]))
+        "id1", "id2", "match", *[f.name for f in carried]))
     negatives = predicted.filter(~F.col("match")).drop("match")
+    if missing:
+        from ..matcher.features import extract_features
+
+        recomputed = extract_features(
+            negatives.select("id1", "id2"), records, id_col, missing)
+        negatives = negatives.join(recomputed, ["id1", "id2"])
     if ic_feats:
         neg_ic = extract_features_ic(
             negatives.select("id1", "id2"), records, id_col, ic_feats,
