@@ -246,21 +246,25 @@ def monge_elkan_batch(s1s, s2s) -> np.ndarray:
     pos_in_seg = np.arange(total) - np.repeat(flat_start[:-1], seg_len)
     id1 = np.repeat(left_ids, seg_len)
     id2 = pool[np.repeat(offs[b[rows]][seg_row], seg_len) + pos_in_seg]
-    keys = id1 * np.int64(len(toks) + 1) + id2
-    uniq_keys, pair_ids = np.unique(keys, return_inverse=True)
     v = np.int64(len(toks) + 1)
+    keys = id1 * v + id2
+    if v <= 46340:  # (V+1)^2 < 2^31: int32 keys sort measurably faster
+        keys = keys.astype(np.int32)
+    uniq_keys, pair_ids = np.unique(keys, return_inverse=True)
     u1 = [toks[int(k // v)] for k in uniq_keys]
     u2 = [toks[int(k % v)] for k in uniq_keys]
     jw = jw_batch(u1, u2)[pair_ids]
     maxes = np.maximum.reduceat(jw, flat_start[:-1])
     # exact left-to-right sums (np.add.reduceat sums pairwise — off by an ulp
-    # from the scalar oracle); the Python loop is over LEFT tokens only,
-    # negligible next to the char sweeps above
-    pos = 0
-    for k in range(rows.size):
-        s = 0.0
-        for t in maxes[pos:pos + ka[k]]:
-            s += t
-        out[rows[k]] = s / ka[k]
-        pos += ka[k]
+    # from the scalar oracle): rows sharing a left-token count batch into an
+    # (m, ka) gather and accumulate column by column — identical per-row
+    # addition order to the scalar loop, no Python per row
+    for kval in np.unique(ka):
+        sel = np.flatnonzero(ka == kval)
+        idx = seg_start[sel][:, None] + np.arange(kval)
+        M = maxes[idx]
+        acc = M[:, 0].copy()
+        for j in range(1, int(kval)):
+            acc += M[:, j]
+        out[rows[sel]] = acc / kval
     return out
