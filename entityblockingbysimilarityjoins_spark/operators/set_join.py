@@ -858,10 +858,56 @@ def set_similarity_rs_join(
                                max_idf_literal_entries)
     need_map = weighted and idf_arr is None
     n_mask = inline.n_words if inline is not None else None
+    # RS flavor of the all-pairs sweep (same valve as the self join): group
+    # identical sets per side, broadcast-join the R-group × S-group square
+    # with the length(/weight-ratio) filter AS the join condition, verify
+    # from the bitmasks, expand members after. Each (R-group, S-group) pair
+    # is generated exactly once, so the two directional prefix joins AND
+    # their dedup exchange disappear.
+    use_sweep = (inline is not None and inline.n_sets_approx is not None
+                 and inline.n_sets_approx <= MAX_ALLPAIRS_SETS)
     left = _prepare(df_r, id_col, tokens_col, dictionary, weighted, broadcast_dict,
-                    need_idf_map=need_map, n_mask_words=n_mask, inline=inline)
+                    need_idf_map=need_map, n_mask_words=n_mask, inline=inline,
+                    need_suffixs=not use_sweep)
     right = _prepare(df_s, id_col, tokens_col, dictionary, weighted, broadcast_dict,
-                     need_idf_map=need_map, n_mask_words=n_mask, inline=inline)
+                     need_idf_map=need_map, n_mask_words=n_mask, inline=inline,
+                     need_suffixs=not use_sweep)
+    if use_sweep:
+        f = _prefix_factor(sim, threshold)
+        size1, size2 = ("w1", "w2") if weighted else ("len1", "len2")
+        size_src = "wt" if weighted else "len"
+        keep = [size_src] + [f"__bm{w}" for w in range(n_mask)]
+
+        def grp(enc: DataFrame) -> DataFrame:
+            return persist_tracked(
+                enc.groupBy("tids").agg(
+                    F.collect_list("rid").alias("members"),
+                    F.min("rid").alias("rid"),
+                    *[F.first(c).alias(c) for c in keep]))
+
+        gl, gr = grp(left), grp(right)
+        a = gl.select(F.col("rid").alias("rid1"), F.col(size_src).alias(size1),
+                      *[F.col(f"__bm{w}").alias(f"__bm{w}1") for w in range(n_mask)])
+        par = df_r.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(2 * par)
+        b = gr.select(F.col("rid").alias("rid2"), F.col(size_src).alias(size2),
+                      *[F.col(f"__bm{w}").alias(f"__bm{w}2") for w in range(n_mask)])
+        lo, hi = F.least(size1, size2), F.greatest(size1, size2)
+        if weighted:
+            cond = lo >= F.lit(f) * hi - F.lit(_EPS)
+        else:
+            cond = lo >= F.ceil(F.lit(f) * hi - F.lit(_EPS))
+        j = a.join(F.broadcast(b), cond)
+        j = j.withColumn(sim_col, _sim_value(sim, weighted, None, n_mask, inline)
+                         ).filter(F.col(sim_col) >= threshold)
+        m1 = gl.select(F.col("rid").alias("rid1"), F.col("members").alias("mm1"))
+        m2 = gr.select(F.col("rid").alias("rid2"), F.col("members").alias("mm2"))
+        return (
+            j.select("rid1", "rid2", sim_col)
+            .join(m1, "rid1").join(m2, "rid2")
+            .withColumn("a", F.explode("mm1")).withColumn("b", F.explode("mm2"))
+            .select(F.col("a").alias("id1"), F.col("b").alias("id2"), sim_col)
+        )
     l = _entries(left, "1", sim, threshold, weighted, max_token_freq, dictionary,
                  need_idf_map=need_map, n_mask_words=n_mask)
     r = _entries(right, "2", sim, threshold, weighted, max_token_freq, dictionary,

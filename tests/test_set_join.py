@@ -223,3 +223,34 @@ def test_allpairs_valve_matches_prefix_path(spark, monkeypatch):
             df, "rid", "tokens", sim, t, weighted=True).collect()))
         monkeypatch.undo()
         assert fast == slow and fast, ("weighted", sim, t)
+
+
+def test_rs_allpairs_valve_matches_prefix_path(spark, monkeypatch):
+    """The RS all-pairs sweep (grouped sides, broadcast square) emits exactly
+    the two-directional prefix path's rows, weighted included."""
+    import entityblockingbysimilarityjoins_spark.operators.set_join as SJ
+    from entityblockingbysimilarityjoins_spark.operators.set_join import (
+        set_similarity_rs_join,
+    )
+
+    random.seed(13)
+    vocab = [f"w{i}" for i in range(20)]
+    rows_r = [(i, " ".join(random.sample(vocab, random.randint(3, 10))))
+              for i in range(150)]
+    rows_s = [(i, " ".join(random.sample(vocab, random.randint(3, 10))))
+              for i in range(180)]
+    rows_r += [(500 + i, rows_r[i][1]) for i in range(6)]  # duplicate sets
+    rows_s += [(700 + i, rows_s[i][1]) for i in range(6)]
+    dfr = spark.createDataFrame(rows_r, ["rid", "s"]).withColumn(
+        "tokens", tokens_dlm("s"))
+    dfs = spark.createDataFrame(rows_s, ["rid", "s"]).withColumn(
+        "tokens", tokens_dlm("s"))
+    for sim, t, w in (("jac", 0.6, False), ("cos", 0.7, False),
+                      ("jac", 0.5, True)):
+        fast = sorted(map(tuple, set_similarity_rs_join(
+            dfr, dfs, "rid", "tokens", sim, t, weighted=w).collect()))
+        monkeypatch.setattr(SJ, "MAX_ALLPAIRS_SETS", 0)  # force prefix path
+        slow = sorted(map(tuple, set_similarity_rs_join(
+            dfr, dfs, "rid", "tokens", sim, t, weighted=w).collect()))
+        monkeypatch.undo()
+        assert fast == slow and fast, (sim, t, w)
